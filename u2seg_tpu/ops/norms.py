@@ -1,0 +1,71 @@
+"""Normalization layers.
+
+Counterpart of ``detectron2/layers/batch_norm.py`` (FrozenBatchNorm2d :13,
+NaiveSyncBatchNorm :200, LayerNorm :333) and the ``get_norm`` factory (:143).
+
+TPU notes: SyncBN is *free* in SPMD — ``flax.linen.BatchNorm`` with
+``axis_name='data'`` psums batch moments across the mesh inside the compiled
+step (exactly what NaiveSyncBatchNorm emulates with hand-rolled all_reduce).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with fixed affine + statistics (never updated, no gradient).
+
+    Matches ref FrozenBatchNorm2d (batch_norm.py:13-142): out =
+    (x - mean) / sqrt(var + eps) * weight + bias with all four as constants.
+    Channels-last.
+    """
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,))
+        ).value
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,))
+        ).value
+        scale = jax.lax.stop_gradient(scale)
+        bias = jax.lax.stop_gradient(bias)
+        mul = scale * jax.lax.rsqrt(var + self.eps)
+        return x * mul + (bias - mean * mul)
+
+
+def get_norm(norm: Optional[str], features: int, *, axis_name: str = "data") -> Optional[nn.Module]:
+    """Norm factory mirroring ref layers/batch_norm.py:143 ``get_norm``.
+
+    "BN"      -> per-replica BatchNorm (no cross-device sync)
+    "SyncBN"  -> BatchNorm synced over the ``data`` mesh axis (psum of moments)
+    "FrozenBN"-> FrozenBatchNorm
+    "GN"      -> GroupNorm(32)
+    "LN"      -> LayerNorm over channels
+    "" / None -> None
+    """
+    if not norm:
+        return None
+    if norm == "BN":
+        return nn.BatchNorm(momentum=0.9, epsilon=1e-5, use_running_average=None)
+    if norm in ("SyncBN", "naiveSyncBN"):
+        return nn.BatchNorm(
+            momentum=0.9, epsilon=1e-5, axis_name=axis_name,
+            use_running_average=None,
+        )
+    if norm == "FrozenBN":
+        return FrozenBatchNorm(features)
+    if norm == "GN":
+        return nn.GroupNorm(num_groups=32, epsilon=1e-5)
+    if norm == "LN":
+        return nn.LayerNorm(epsilon=1e-6)
+    raise ValueError(f"Unknown norm: {norm}")
