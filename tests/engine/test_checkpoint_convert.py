@@ -1,0 +1,226 @@
+"""Checkpoint converter test: build a synthetic detectron2-style state dict
+whose arrays are derived from a freshly-initialized Flax model (inverting
+the layout transforms), convert it, and check values land exactly where
+they started. Verifies the d2->flax mapping is complete and layout-correct
+for every module the converter claims to handle."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from u2seg_tpu.config.config import Config
+from u2seg_tpu.engine.checkpoint import (
+    Checkpointer, convert_d2_panoptic_fpn,
+)
+from u2seg_tpu.models.panoptic_fpn import PanopticFPN
+
+
+def small_r50_cfg():
+    cfg = Config()
+    m = cfg.model
+    m.resnet.norm = "BN"       # BN so batch_stats exist like SyncBN
+    m.fpn.norm = "BN"
+    m.roi_heads.num_classes = 5
+    m.sem_seg_head.num_classes = 6
+    m.rpn.pre_nms_topk_test = 32
+    m.rpn.post_nms_topk_test = 16
+    m.roi_heads.detections_per_image = 5
+    return cfg
+
+
+def flatten(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(flatten(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = np.asarray(v)
+    return out
+
+
+@pytest.fixture(scope="module")
+def model_vars():
+    cfg = small_r50_cfg()
+    model = PanopticFPN(cfg.model)
+    images = jnp.zeros((1, 64, 64, 3))
+    sizes = jnp.array([[64, 64]], jnp.int32)
+    return model.init({"params": jax.random.PRNGKey(0)}, images, sizes, train=False)
+
+
+def build_fake_ref(params_flat, stats_flat):
+    """Invert the converter's transforms to produce d2-style keys/layouts."""
+    ref = {}
+
+    def inv_conv(w):
+        return np.transpose(w, (3, 2, 0, 1))
+
+    def inv_deconv(w):
+        return np.transpose(w, (2, 3, 0, 1))
+
+    stage_blocks = {"res2": 3, "res3": 4, "res4": 6, "res5": 3}
+
+    # backbone convs + BNs
+    ref["backbone.bottom_up.stem.conv1.weight"] = inv_conv(
+        params_flat[("backbone", "bottom_up", "stem", "conv1", "kernel")]
+    )
+    _bn(ref, "backbone.bottom_up.stem.conv1.norm",
+        params_flat, stats_flat, ("backbone", "bottom_up", "stem", "BatchNorm_0"))
+    for stage, nb in stage_blocks.items():
+        for i in range(nb):
+            base = ("backbone", "bottom_up", f"{stage}_{i}")
+            src = f"backbone.bottom_up.{stage}.{i}"
+            for ci, cname in enumerate(["conv1", "conv2", "conv3"]):
+                ref[f"{src}.{cname}.weight"] = inv_conv(
+                    params_flat[base + (cname, "kernel")]
+                )
+                _bn(ref, f"{src}.{cname}.norm", params_flat, stats_flat,
+                    base + (f"BatchNorm_{ci}",))
+            sc = base + ("shortcut", "kernel")
+            if sc in params_flat:
+                ref[f"{src}.shortcut.weight"] = inv_conv(params_flat[sc])
+                _bn(ref, f"{src}.shortcut.norm", params_flat, stats_flat,
+                    base + ("BatchNorm_3",))
+
+    # FPN
+    lat = {"res2": "fpn_lateral2", "res3": "fpn_lateral3",
+           "res4": "fpn_lateral4", "res5": "fpn_lateral5"}
+    outm = {"res2": "fpn_output2", "res3": "fpn_output3",
+            "res4": "fpn_output4", "res5": "fpn_output5"}
+    bn_idx = 0
+    for stage in ["res5", "res4", "res3", "res2"]:
+        ref[f"backbone.{lat[stage]}.weight"] = inv_conv(
+            params_flat[("backbone", "fpn", f"lateral_{stage}", "kernel")]
+        )
+        _bn(ref, f"backbone.{lat[stage]}.norm", params_flat, stats_flat,
+            ("backbone", "fpn", f"BatchNorm_{bn_idx}"))
+        bn_idx += 1
+        ref[f"backbone.{outm[stage]}.weight"] = inv_conv(
+            params_flat[("backbone", "fpn", f"output_{stage}", "kernel")]
+        )
+        _bn(ref, f"backbone.{outm[stage]}.norm", params_flat, stats_flat,
+            ("backbone", "fpn", f"BatchNorm_{bn_idx}"))
+        bn_idx += 1
+
+    # RPN
+    for ours, theirs in [
+        (("proposal_generator", "head", "conv0"), "proposal_generator.rpn_head.conv"),
+        (("proposal_generator", "head", "objectness_logits"),
+         "proposal_generator.rpn_head.objectness_logits"),
+        (("proposal_generator", "head", "anchor_deltas"),
+         "proposal_generator.rpn_head.anchor_deltas"),
+    ]:
+        ref[theirs + ".weight"] = inv_conv(params_flat[ours + ("kernel",)])
+        ref[theirs + ".bias"] = params_flat[ours + ("bias",)]
+
+    # cascade box heads / predictors
+    for k in range(3):
+        for fc in (1, 2):
+            w = params_flat[("roi_heads", f"box_head{k}", f"fc{fc}", "kernel")].T
+            if fc == 1:
+                o, i = w.shape
+                c = i // 49
+                w = w.reshape(o, 7, 7, c).transpose(0, 3, 1, 2).reshape(o, i)
+            ref[f"roi_heads.box_head.{k}.fc{fc}.weight"] = w
+            ref[f"roi_heads.box_head.{k}.fc{fc}.bias"] = params_flat[
+                ("roi_heads", f"box_head{k}", f"fc{fc}", "bias")
+            ]
+        for name in ("cls_score", "bbox_pred"):
+            ref[f"roi_heads.box_predictor.{k}.{name}.weight"] = params_flat[
+                ("roi_heads", f"box_predictor{k}", name, "kernel")
+            ].T
+            ref[f"roi_heads.box_predictor.{k}.{name}.bias"] = params_flat[
+                ("roi_heads", f"box_predictor{k}", name, "bias")
+            ]
+
+    # mask head
+    for i in range(1, 5):
+        ref[f"roi_heads.mask_head.mask_fcn{i}.weight"] = inv_conv(
+            params_flat[("roi_heads", "mask_head", f"mask_fcn{i}", "kernel")]
+        )
+        ref[f"roi_heads.mask_head.mask_fcn{i}.bias"] = params_flat[
+            ("roi_heads", "mask_head", f"mask_fcn{i}", "bias")
+        ]
+    ref["roi_heads.mask_head.deconv.weight"] = inv_deconv(
+        params_flat[("roi_heads", "mask_head", "deconv", "kernel")]
+    )
+    ref["roi_heads.mask_head.deconv.bias"] = params_flat[
+        ("roi_heads", "mask_head", "deconv", "bias")
+    ]
+    ref["roi_heads.mask_head.predictor.weight"] = inv_conv(
+        params_flat[("roi_heads", "mask_head", "predictor", "kernel")]
+    )
+    ref["roi_heads.mask_head.predictor.bias"] = params_flat[
+        ("roi_heads", "mask_head", "predictor", "bias")
+    ]
+
+    # sem-seg head
+    for stage, d2s, head_len in [("p2", "res2", 1), ("p3", "res3", 1),
+                                 ("p4", "res4", 2), ("p5", "res5", 3)]:
+        for j in range(head_len):
+            key = ("sem_seg_head", f"{stage}_conv{j}", "kernel")
+            if key not in params_flat:
+                continue
+            ref[f"sem_seg_head.{d2s}_head.{j}.weight"] = inv_conv(params_flat[key])
+            bias_key = ("sem_seg_head", f"{stage}_conv{j}", "bias")
+            if bias_key in params_flat:  # absent when the conv is norm-fused
+                ref[f"sem_seg_head.{d2s}_head.{j}.bias"] = params_flat[bias_key]
+            gn = ("sem_seg_head", f"{stage}_gn{j}", "scale")
+            if gn in params_flat:
+                ref[f"sem_seg_head.{d2s}_head.{j}.norm.weight"] = params_flat[gn]
+                ref[f"sem_seg_head.{d2s}_head.{j}.norm.bias"] = params_flat[
+                    ("sem_seg_head", f"{stage}_gn{j}", "bias")
+                ]
+    ref["sem_seg_head.predictor.weight"] = inv_conv(
+        params_flat[("sem_seg_head", "predictor", "kernel")]
+    )
+    ref["sem_seg_head.predictor.bias"] = params_flat[
+        ("sem_seg_head", "predictor", "bias")
+    ]
+    return ref
+
+
+def _bn(ref, src, params_flat, stats_flat, scope):
+    key = scope + ("scale",)
+    if key not in params_flat:
+        return
+    ref[src + ".weight"] = params_flat[key]
+    ref[src + ".bias"] = params_flat[scope + ("bias",)]
+    ref[src + ".running_mean"] = stats_flat[scope + ("mean",)]
+    ref[src + ".running_var"] = stats_flat[scope + ("var",)]
+
+
+def test_convert_roundtrip(model_vars):
+    params_flat = flatten(dict(model_vars["params"]))
+    stats_flat = flatten(dict(model_vars.get("batch_stats", {})))
+    # sem-seg head uses GN in default cfg... our small cfg keeps GN
+    ref = build_fake_ref(params_flat, stats_flat)
+    conv_params, conv_stats = convert_d2_panoptic_fpn(ref, num_stages=3)
+    got_p = flatten(conv_params)
+    got_s = flatten(conv_stats)
+    # every converted param matches the original init value & shape
+    missing = [k for k in got_p if k not in params_flat]
+    assert not missing, missing[:10]
+    for k, v in got_p.items():
+        np.testing.assert_array_equal(v, params_flat[k], err_msg=str(k))
+    for k, v in got_s.items():
+        np.testing.assert_array_equal(v, stats_flat[k], err_msg=str(k))
+    # coverage: all backbone/heads params present (non-norm convs etc.)
+    converted_frac = len(got_p) / len(params_flat)
+    assert converted_frac > 0.95, f"only {converted_frac:.0%} params converted"
+
+
+def test_checkpointer_roundtrip(tmp_path):
+    ck = Checkpointer(str(tmp_path))
+    state = {
+        "a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+        "nested": {"b": jnp.ones((4,), jnp.int32)},
+    }
+    ck.save("model_0000001", state)
+    assert ck.has_checkpoint()
+    target = jax.tree_util.tree_map(jnp.zeros_like, state)
+    restored, resumed = ck.resume_or_load(target, resume=True)
+    assert resumed
+    np.testing.assert_array_equal(np.asarray(restored["a"]), np.asarray(state["a"]))
+    np.testing.assert_array_equal(
+        np.asarray(restored["nested"]["b"]), np.asarray(state["nested"]["b"])
+    )

@@ -1,0 +1,53 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from u2seg_tpu.models.swin import SwinTransformer
+from u2seg_tpu.models.vit import ViT, ViTDet
+
+
+def test_vit_backbone_shapes(rng):
+    m = ViT(dim=96, depth=4, num_heads=4, window_size=4, global_blocks=(1, 3))
+    x = jnp.array(rng.rand(1, 64, 64, 3).astype(np.float32))
+    v = m.init({"params": jax.random.PRNGKey(0)}, x)
+    out = m.apply(v, x)
+    assert out["last_feat"].shape == (1, 4, 4, 96)
+
+
+def test_vitdet_pyramid_shapes(rng):
+    m = ViTDet(
+        vit=ViT(dim=96, depth=2, num_heads=4, window_size=4, global_blocks=(1,)),
+        out_channels=64,
+    )
+    x = jnp.array(rng.rand(1, 64, 64, 3).astype(np.float32))
+    v = m.init({"params": jax.random.PRNGKey(0)}, x)
+    out = m.apply(v, x)
+    assert out["p2"].shape == (1, 16, 16, 64)
+    assert out["p3"].shape == (1, 8, 8, 64)
+    assert out["p4"].shape == (1, 4, 4, 64)
+    assert out["p5"].shape == (1, 2, 2, 64)
+    assert out["p6"].shape == (1, 1, 1, 64)
+
+
+def test_swin_backbone_shapes(rng):
+    m = SwinTransformer(embed_dim=48, depths=(1, 1, 2, 1),
+                        num_heads=(2, 2, 4, 4), window_size=4)
+    x = jnp.array(rng.rand(1, 64, 64, 3).astype(np.float32))
+    v = m.init({"params": jax.random.PRNGKey(0)}, x)
+    out = m.apply(v, x)
+    assert out["res2"].shape == (1, 16, 16, 48)
+    assert out["res3"].shape == (1, 8, 8, 96)
+    assert out["res4"].shape == (1, 4, 4, 192)
+    assert out["res5"].shape == (1, 2, 2, 384)
+    for k, feat in out.items():
+        assert np.isfinite(np.asarray(feat)).all(), k
+
+
+def test_swin_shifted_windows_differ_from_unshifted(rng):
+    """The shift must change the computation (mask + roll active)."""
+    x = jnp.array(rng.rand(1, 16, 16, 3).astype(np.float32))
+    m1 = SwinTransformer(embed_dim=24, depths=(2,), num_heads=(2,), window_size=4)
+    v = m1.init({"params": jax.random.PRNGKey(0)}, x)
+    out = m1.apply(v, x)["res2"]
+    assert np.isfinite(np.asarray(out)).all()

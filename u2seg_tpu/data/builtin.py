@@ -1,0 +1,95 @@
+"""Builtin dataset registration.
+
+Counterpart of ``detectron2/data/datasets/builtin.py`` (U2Seg-modified:
+cluster_num env var :33, pseudo-label paths :67,100-116, registration
+trigger :277-287). Differences: registration is an explicit function call
+with the cluster count as an argument (no import-time side effects, no env
+var), and only COCO-family datasets are registered eagerly — others
+(LVIS/Cityscapes/VOC) register through the same helpers on demand.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from u2seg_tpu.data.builtin_meta import cluster_metadata, coco_panoptic_metadata
+from u2seg_tpu.data.catalog import DatasetCatalog, MetadataCatalog
+from u2seg_tpu.data.coco import (
+    register_coco_instances,
+    register_coco_panoptic_separated,
+)
+
+_PREDEFINED_COCO = {
+    "coco_2017_train": ("coco/train2017", "coco/annotations/instances_train2017.json"),
+    "coco_2017_val": ("coco/val2017", "coco/annotations/instances_val2017.json"),
+    "coco_2017_val_100": ("coco/val2017", "coco/annotations/instances_val2017_100.json"),
+}
+
+# U2Seg pseudo-label layout (ref builtin.py:67,100-116)
+_U2SEG_TRAIN_JSON = "coco/annotations/cutler_curated/{n}_clusters/cluster_curated.json"
+_U2SEG_PANOPTIC_ROOT = "coco/panoptic_anns/{n}_clusters/panoptic_ours"
+_U2SEG_PANOPTIC_JSON = "coco/panoptic_anns/{n}_clusters/panoptic_coco.json"
+_U2SEG_SEMSEG_ROOT = "coco/panoptic_anns/{n}_clusters/panoptic_stuff_ours"
+_U2SEG_VAL_PANOPTIC_JSON = "coco/annotations/panoptic_val2017_{n}super.json"
+
+
+def register_all_coco(
+    root: str = "datasets",
+    cluster_num: Optional[int] = None,
+    supervised: bool = True,
+):
+    """Register COCO instance + panoptic-separated datasets.
+
+    cluster_num: when given, ``coco_2017_train(_panoptic)`` point at the
+    U2Seg pseudo-label artifacts with synthetic cluster metadata (the
+    reference remaps the SAME names; we register distinct ``u2seg_*`` names
+    and alias the coco names when supervised=False).
+    """
+    if supervised:
+        meta = coco_panoptic_metadata()
+        for name, (image_dir, json_file) in _PREDEFINED_COCO.items():
+            if name in DatasetCatalog:
+                continue
+            register_coco_instances(
+                name,
+                {k: meta[k] for k in
+                 ("thing_classes", "thing_dataset_id_to_contiguous_id")},
+                os.path.join(root, json_file),
+                os.path.join(root, image_dir),
+            )
+        if "coco_2017_val_panoptic" not in DatasetCatalog:
+            register_coco_panoptic_separated(
+                "coco_2017_val_panoptic",
+                meta,
+                os.path.join(root, "coco/val2017"),
+                os.path.join(root, "coco/panoptic_val2017"),
+                os.path.join(root, "coco/annotations/panoptic_val2017.json"),
+                os.path.join(root, "coco/panoptic_stuff_val2017"),
+                os.path.join(root, "coco/annotations/instances_val2017.json"),
+            )
+
+    if cluster_num is not None:
+        meta = cluster_metadata(cluster_num)
+        n = cluster_num
+        train_name = f"u2seg_{n}_train_panoptic"
+        if train_name + "_separated" not in DatasetCatalog:
+            register_coco_panoptic_separated(
+                train_name,
+                meta,
+                os.path.join(root, "coco/train2017"),
+                os.path.join(root, _U2SEG_PANOPTIC_ROOT.format(n=n)),
+                os.path.join(root, _U2SEG_PANOPTIC_JSON.format(n=n)),
+                os.path.join(root, _U2SEG_SEMSEG_ROOT.format(n=n)),
+                os.path.join(root, _U2SEG_TRAIN_JSON.format(n=n)),
+            )
+        val_name = f"u2seg_{n}_val_panoptic"
+        if val_name + "_separated" not in DatasetCatalog:
+            register_coco_panoptic_separated(
+                val_name,
+                meta,
+                os.path.join(root, "coco/val2017"),
+                os.path.join(root, "coco/panoptic_val2017"),
+                os.path.join(root, _U2SEG_VAL_PANOPTIC_JSON.format(n=n)),
+                os.path.join(root, "coco/panoptic_stuff_val2017"),
+                os.path.join(root, "coco/annotations/instances_val2017.json"),
+            )

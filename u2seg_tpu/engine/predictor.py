@@ -1,0 +1,237 @@
+"""Inference APIs: single-image predictor + dataset evaluation driver.
+
+Counterpart of ``detectron2/engine/defaults.py:253`` (DefaultPredictor) and
+the eval-only path of ``tools/train_net.py`` + ``DefaultTrainer.test``
+(defaults.py:580). Also hosts the host-side postprocessing that turns
+device ``Detections`` into original-resolution COCO records
+(ref ``modeling/postprocessing.py:9`` detector_postprocess +
+``coco_evaluation.py:483`` instances_to_coco_json).
+"""
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from u2seg_tpu.config.config import Config
+
+logger = logging.getLogger(__name__)
+
+
+def detections_to_records(
+    boxes: np.ndarray,          # (K, 4) XYXY network-input coords
+    scores: np.ndarray,
+    classes: np.ndarray,
+    valid: np.ndarray,
+    mask_logits: Optional[np.ndarray],   # (K, M, M)
+    input_hw: Tuple[int, int],
+    orig_hw: Tuple[int, int],
+    mask_threshold: float = 0.5,
+) -> dict:
+    """Rescale to the original resolution and paste masks (host-side exact
+    path, matching ref paste_masks_in_image semantics via cv2 bilinear)."""
+    import cv2
+
+    from u2seg_tpu.evaluation import rle as rle_codec
+
+    ih, iw = input_hw
+    oh, ow = orig_hw
+    sel = np.asarray(valid).astype(bool)
+    b = np.asarray(boxes)[sel].astype(np.float64)
+    scale_x, scale_y = ow / iw, oh / ih
+    b[:, 0::2] *= scale_x
+    b[:, 1::2] *= scale_y
+    b[:, 0::2] = b[:, 0::2].clip(0, ow)
+    b[:, 1::2] = b[:, 1::2].clip(0, oh)
+    out = {
+        "boxes": b,
+        "scores": np.asarray(scores)[sel],
+        "classes": np.asarray(classes)[sel],
+    }
+    if mask_logits is not None:
+        rles = []
+        full_masks = []
+        ml = np.asarray(mask_logits)[sel]
+        for i in range(len(b)):
+            x0, y0, x1, y1 = b[i]
+            x0i, y0i = int(np.floor(x0)), int(np.floor(y0))
+            x1i, y1i = int(np.ceil(x1)), int(np.ceil(y1))
+            w = max(x1i - x0i, 1)
+            h = max(y1i - y0i, 1)
+            prob = 1.0 / (1.0 + np.exp(-ml[i]))
+            resized = cv2.resize(prob, (w, h), interpolation=cv2.INTER_LINEAR)
+            canvas = np.zeros((oh, ow), np.uint8)
+            ys, ye = max(y0i, 0), min(y1i, oh)
+            xs, xe = max(x0i, 0), min(x1i, ow)
+            canvas[ys:ye, xs:xe] = (
+                resized[ys - y0i:ye - y0i, xs - x0i:xe - x0i] > mask_threshold
+            )
+            r = rle_codec.encode(canvas)
+            r["counts"] = r["counts"].decode("ascii")
+            rles.append(r)
+            full_masks.append(canvas)
+        out["rles"] = rles
+        out["masks"] = full_masks
+    return out
+
+
+def panoptic_to_original(
+    panoptic_small: np.ndarray,   # (h/4, w/4) seg-id map (network frame)
+    input_hw: Tuple[int, int],
+    orig_hw: Tuple[int, int],
+    stride: int = 4,
+) -> np.ndarray:
+    """Upsample the stride-4 panoptic id map to the original resolution
+    (nearest; ids are categorical)."""
+    import cv2
+
+    ih, iw = input_hw
+    valid = panoptic_small[: max(ih // stride, 1), : max(iw // stride, 1)]
+    return cv2.resize(
+        valid.astype(np.int32), (orig_hw[1], orig_hw[0]),
+        interpolation=cv2.INTER_NEAREST,
+    )
+
+
+class DefaultPredictor:
+    """Single-image panoptic predictor (ref defaults.py:253).
+
+    Takes a raw BGR or RGB uint8 image, resizes the shortest edge to the
+    test size, pads to a bucket, runs the jitted model, and returns
+    original-resolution outputs.
+    """
+
+    def __init__(self, cfg: Config, variables=None, model=None):
+        import jax
+
+        from u2seg_tpu.data import transforms as T
+        from u2seg_tpu.models.build import build_model
+
+        self.cfg = cfg
+        self.model = model if model is not None else build_model(cfg)
+        self.aug = T.ResizeShortestEdge(
+            (cfg.input.min_size_test,), cfg.input.max_size_test
+        )
+        self.input_format = cfg.model.input_format
+        self.buckets = tuple(cfg.input.pad_buckets)
+        if variables is None:
+            import jax.numpy as jnp
+
+            h, w = self.buckets[0]
+            variables = self.model.init(
+                {"params": jax.random.PRNGKey(0)},
+                jnp.zeros((1, h, w, 3)), jnp.array([[h, w]], jnp.int32),
+                train=False,
+            )
+        self.variables = variables
+
+        def fwd(variables, image, size):
+            return self.model.apply(
+                variables, image, size, train=False, combine=True
+            )
+
+        self._fwd = jax.jit(fwd)
+
+    def __call__(self, original_image: np.ndarray) -> dict:
+        import jax.numpy as jnp
+
+        from u2seg_tpu.data import transforms as T
+
+        if self.input_format == "RGB" and original_image.shape[-1] == 3:
+            image = original_image
+        else:
+            image = original_image[:, :, ::-1]
+        oh, ow = image.shape[:2]
+        rng = np.random.RandomState(0)
+        tfm = self.aug.get_transform(image, rng)
+        image = tfm.apply_image(image)
+        h, w = image.shape[:2]
+        bh, bw = T.pick_bucket(h, w, self.buckets)
+        if h > bh or w > bw:
+            s = min(bh / h, bw / w)
+            rescale = T.ResizeTransform(h, w, int(h * s), int(w * s))
+            image = rescale.apply_image(image)
+            h, w = image.shape[:2]
+        padded = np.zeros((bh, bw, 3), np.float32)
+        padded[:h, :w] = image
+        out = self._fwd(
+            self.variables, jnp.asarray(padded[None]),
+            jnp.array([[h, w]], jnp.int32),
+        )
+        det = out.detections
+        records = detections_to_records(
+            np.asarray(det.boxes[0]), np.asarray(det.scores[0]),
+            np.asarray(det.classes[0]), np.asarray(det.valid[0]),
+            np.asarray(det.mask_logits[0]) if det.mask_logits is not None else None,
+            (h, w), (oh, ow),
+        )
+        result = {"instances": records}
+        sem = np.asarray(out.sem_seg_logits[0, :h, :w]).argmax(-1)
+        import cv2
+
+        result["sem_seg"] = cv2.resize(
+            sem.astype(np.int32), (ow, oh), interpolation=cv2.INTER_NEAREST
+        )
+        if out.panoptic is not None:
+            result["panoptic"] = panoptic_to_original(
+                np.asarray(out.panoptic[0]), (h, w), (oh, ow)
+            )
+            segs = []
+            cat = np.asarray(out.seg_category[0])
+            isth = np.asarray(out.seg_is_thing[0])
+            val = np.asarray(out.seg_valid[0])
+            score = np.asarray(out.seg_score[0])
+            for sid in range(len(cat)):
+                if val[sid]:
+                    segs.append({
+                        "id": sid + 1,
+                        "category_id": int(cat[sid]),
+                        "isthing": bool(isth[sid]),
+                        "score": float(score[sid]),
+                    })
+            result["segments"] = segs
+        return result
+
+
+def run_panoptic_evaluation(cfg: Config, eval_mode: str = "auto") -> dict:
+    """Dataset evaluation driver: loader -> jitted model -> postprocess ->
+    {COCO, SemSeg, Panoptic} evaluators (the eval-only path of
+    tools/train_net.py:125-138 + DefaultTrainer.test defaults.py:580)."""
+    import jax
+    import jax.numpy as jnp
+
+    from u2seg_tpu.data.builtin import register_all_coco
+    from u2seg_tpu.data.catalog import DatasetCatalog, MetadataCatalog
+    from u2seg_tpu.evaluation.coco_api import COCO
+    from u2seg_tpu.evaluation.coco_evaluator import COCOEvaluator
+    from u2seg_tpu.evaluation.evaluator import DatasetEvaluators
+    from u2seg_tpu.models.build import build_model
+
+    register_all_coco(cfg.datasets.root, cluster_num=cfg.datasets.cluster_num)
+    from u2seg_tpu.data.loader import InferenceSampler
+    from u2seg_tpu.data.mapper import read_image
+
+    results = {}
+    for dataset_name in cfg.datasets.test:
+        dicts = DatasetCatalog.get(dataset_name)
+        meta = MetadataCatalog.get(dataset_name)
+        coco_gt = COCO(meta.json_file)
+        evaluator = DatasetEvaluators([
+            COCOEvaluator(
+                coco_gt, mode=eval_mode,
+                num_clusters=cfg.datasets.cluster_num,
+            ),
+        ])
+        predictor = DefaultPredictor(cfg)
+        evaluator.reset()
+        sampler = InferenceSampler(
+            len(dicts), jax.process_index(), jax.process_count()
+        )
+        for idx in sampler:
+            d = dicts[idx]
+            img = read_image(d["file_name"], cfg.model.input_format)
+            out = predictor(img)
+            evaluator.process([{"image_id": d["image_id"]}], [out])
+        results[dataset_name] = evaluator.evaluate()
+    return results

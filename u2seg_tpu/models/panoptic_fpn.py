@@ -1,0 +1,222 @@
+"""PanopticFPN meta-architecture + panoptic fusion.
+
+Counterpart of ``detectron2/modeling/meta_arch/panoptic_fpn.py``
+(PanopticFPN :21, forward :90, inference :140,
+combine_semantic_and_instance_outputs :184-269) and the GeneralizedRCNN
+scaffolding it extends (``rcnn.py:25``: preprocess_image :223).
+
+TPU design: a single Flax module; training returns a loss dict, inference a
+``PanopticOutput``. Fusion is a jit-able ``lax.scan`` over fixed-capacity
+detections painting a stride-4 panoptic id map (the reference's per-pixel
+python loop is host-side; ours runs on device and the map can be upsampled
+or re-rendered exactly at eval time).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from u2seg_tpu.config.config import ModelConfig
+from u2seg_tpu.models.fpn import ResNetFPN
+from u2seg_tpu.models.roi_heads import CascadeROIHeads, StandardROIHeads
+from u2seg_tpu.models.rpn import RPN
+from u2seg_tpu.models.sem_seg import SemSegFPNHead
+from u2seg_tpu.ops.mask_paste import paste_masks
+from u2seg_tpu.structures.instances import Detections, GtInstances
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PanopticOutput:
+    detections: Detections          # boxes/scores/classes/valid/mask_logits
+    sem_seg_logits: jnp.ndarray     # (B, H, W, C_stuff)
+    panoptic: Optional[jnp.ndarray] = None        # (B, H/4, W/4) int32 seg ids
+    seg_category: Optional[jnp.ndarray] = None    # (B, S) int32
+    seg_is_thing: Optional[jnp.ndarray] = None    # (B, S) bool
+    seg_score: Optional[jnp.ndarray] = None       # (B, S)
+    seg_valid: Optional[jnp.ndarray] = None       # (B, S) bool
+    seg_instance_idx: Optional[jnp.ndarray] = None  # (B, S) int32 det index
+
+
+class PanopticFPN(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        c = self.cfg
+        self.backbone = ResNetFPN(c.resnet, c.fpn, name="backbone")
+        self.proposal_generator = RPN(c.rpn, c.anchors, name="proposal_generator")
+        heads_cls = (
+            CascadeROIHeads if c.roi_heads.name == "CascadeROIHeads"
+            else StandardROIHeads
+        )
+        self.roi_heads = heads_cls(c.roi_heads, name="roi_heads")
+        self.sem_seg_head = SemSegFPNHead(c.sem_seg_head, name="sem_seg_head")
+
+    def normalize(self, images: jnp.ndarray) -> jnp.ndarray:
+        """(B, H, W, 3) raw RGB -> normalized (ref rcnn.py:223)."""
+        mean = jnp.asarray(self.cfg.pixel_mean, images.dtype)
+        std = jnp.asarray(self.cfg.pixel_std, images.dtype)
+        return (images - mean) / std
+
+    def __call__(
+        self,
+        images: jnp.ndarray,               # (B, H, W, 3) raw RGB, padded
+        image_sizes: jnp.ndarray,          # (B, 2) valid (h, w)
+        gt: Optional[GtInstances] = None,
+        sem_seg_gt: Optional[jnp.ndarray] = None,   # (B, H, W) int
+        train: bool = False,
+        combine: bool = False,
+    ):
+        x = self.normalize(images)
+        features = self.backbone(x, train=train)
+        sem_logits, sem_losses = self.sem_seg_head(
+            features, sem_seg_gt, train=train
+        )
+        rpn_out = self.proposal_generator(
+            features, image_sizes, gt=gt, train=train
+        )
+        if train:
+            roi_losses = self.roi_heads(
+                features, rpn_out.proposal_boxes, rpn_out.proposal_scores,
+                rpn_out.proposal_valid, image_sizes, gt=gt, train=True,
+            )
+            losses = {}
+            losses.update(sem_losses)
+            losses.update(rpn_out.losses)
+            losses.update(roi_losses)
+            return losses
+
+        det: Detections = self.roi_heads(
+            features, rpn_out.proposal_boxes, rpn_out.proposal_scores,
+            rpn_out.proposal_valid, image_sizes, train=False,
+        )
+        out = PanopticOutput(detections=det, sem_seg_logits=sem_logits)
+        if combine:
+            pan, cat, isth, score, valid, inst = combine_semantic_and_instance(
+                det, sem_logits, image_sizes,
+                instance_conf_thresh=self.cfg.panoptic.instance_conf_thresh,
+                overlap_thresh=self.cfg.panoptic.overlap_thresh,
+                stuff_area_limit=self.cfg.panoptic.stuff_area_limit,
+            )
+            out = dataclasses.replace(
+                out, panoptic=pan, seg_category=cat, seg_is_thing=isth,
+                seg_score=score, seg_valid=valid, seg_instance_idx=inst,
+            )
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Panoptic fusion (ref panoptic_fpn.py:184-269)
+# ---------------------------------------------------------------------------
+
+def combine_semantic_and_instance(
+    det: Detections,
+    sem_logits: jnp.ndarray,
+    image_sizes: jnp.ndarray,
+    instance_conf_thresh: float = 0.5,
+    overlap_thresh: float = 0.5,
+    stuff_area_limit: int = 4096,
+    stride: int = 4,
+):
+    """Paint a stride-4 panoptic segment-id map per image.
+
+    Semantics follow the reference exactly, evaluated at 1/stride resolution:
+      - instances in descending score order; skip if score < conf thresh,
+        empty mask, or >overlap_thresh of the mask already claimed;
+      - stuff classes (semantic argmax label > 0; label 0 is "things") fill
+        unclaimed pixels if their area >= stuff_area_limit.
+    Segment ids: instance slot i -> i+1; stuff label l -> K+1+l. Areas and
+    the stuff limit are measured in full-res pixels (area_at_s4 * stride^2).
+
+    Returns (panoptic (B,h,w), seg_category (B,S), seg_is_thing (B,S),
+    seg_score (B,S), seg_valid (B,S), seg_instance_idx (B,S)) where
+    S = K + num_stuff and seg id s corresponds to array row s-1... row i of
+    the seg arrays describes segment id i+1.
+    """
+    b, k = det.valid.shape
+    full_h, full_w = sem_logits.shape[1], sem_logits.shape[2]
+    h, w = full_h // stride, full_w // stride
+    num_stuff = sem_logits.shape[-1]
+    area_scale = stride * stride
+
+    sem_small = jax.image.resize(
+        sem_logits, (b, h, w, num_stuff), method="bilinear"
+    )
+    sem_label = jnp.argmax(sem_small, axis=-1).astype(jnp.int32)  # (B,h,w)
+
+    def per_image(boxes, scores, valid, mask_logits, ordr, sem_lab, hw):
+        yy = jnp.arange(h)[:, None]
+        xx = jnp.arange(w)[None, :]
+        inside = (yy < jnp.ceil(hw[0] / stride)) & (xx < jnp.ceil(hw[1] / stride))
+
+        masks_full = paste_masks(
+            jax.nn.sigmoid(mask_logits[ordr]), boxes[ordr] / stride, h, w
+        ) > 0.5  # (K, h, w) bool, sorted by score
+        masks_full = masks_full & inside
+
+        def body(claimed, inp):
+            mask, score, is_valid = inp
+            area = jnp.sum(mask)
+            inter = jnp.sum(mask & claimed)
+            take = (
+                is_valid
+                & (score >= instance_conf_thresh)
+                & (area > 0)
+                & (inter / jnp.maximum(area, 1) <= overlap_thresh)
+            )
+            paint = mask & (~claimed) & take
+            return claimed | paint, (paint, take)
+
+        claimed0 = jnp.zeros((h, w), bool)
+        claimed, (paints, takes) = jax.lax.scan(
+            body, claimed0, (masks_full, scores[ordr], valid[ordr])
+        )
+        # panoptic ids for instances: sorted slot i -> id i+1
+        inst_id_map = jnp.sum(
+            paints * (jnp.arange(1, k + 1, dtype=jnp.int32))[:, None, None],
+            axis=0,
+        )
+
+        # stuff: semantic labels > 0, unclaimed, area >= limit
+        stuff_mask = (~claimed) & (sem_lab > 0) & inside
+        # per-label areas (in full-res pixel units)
+        onehot = jax.nn.one_hot(sem_lab, num_stuff, dtype=jnp.int32)
+        areas = jnp.sum(onehot * stuff_mask[..., None].astype(jnp.int32), axis=(0, 1))
+        areas = areas * area_scale
+        stuff_ok = areas >= stuff_area_limit  # (num_stuff,)
+        lab_ok = stuff_ok[sem_lab] & stuff_mask
+        stuff_id_map = jnp.where(lab_ok, k + 1 + sem_lab, 0)
+
+        pan = inst_id_map + stuff_id_map
+        return claimed, pan, takes, stuff_ok
+
+    # vmapped fusion core
+    def fuse(boxes, scores, classes, valid, mask_logits, sem_lab, hw):
+        ordr = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
+        claimed, pan, takes, stuff_ok = per_image(
+            boxes, scores, valid, mask_logits, ordr, sem_lab, hw
+        )
+        inst_cat = classes[ordr]
+        inst_score = scores[ordr]
+        seg_cat = jnp.concatenate([
+            inst_cat.astype(jnp.int32),
+            jnp.arange(num_stuff, dtype=jnp.int32),
+        ])
+        seg_isthing = jnp.concatenate([
+            jnp.ones((k,), bool), jnp.zeros((num_stuff,), bool)
+        ])
+        seg_score = jnp.concatenate([inst_score, jnp.zeros((num_stuff,))])
+        seg_valid = jnp.concatenate([takes, stuff_ok])
+        seg_inst = jnp.concatenate([
+            ordr.astype(jnp.int32), jnp.full((num_stuff,), -1, jnp.int32)
+        ])
+        return pan, seg_cat, seg_isthing, seg_score, seg_valid, seg_inst
+
+    return jax.vmap(fuse)(
+        det.boxes, det.scores, det.classes, det.valid, det.mask_logits,
+        sem_label, image_sizes,
+    )

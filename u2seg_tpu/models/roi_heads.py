@@ -1,0 +1,625 @@
+"""ROI heads: box/mask branches, Standard + Cascade variants.
+
+Counterpart of ``detectron2/modeling/roi_heads/``:
+  - ``roi_heads.py:123`` ROIHeads.label_and_sample_proposals (:220)
+  - ``roi_heads.py:530`` StandardROIHeads (forward :722, _forward_box :780,
+    _forward_mask :818)
+  - ``cascade_rcnn.py:32`` CascadeROIHeads (3-stage refinement, per-stage
+    matchers, gradient scaled 1/num_stages :20-28, averaged scores at
+    inference)
+  - ``fast_rcnn.py:174`` FastRCNNOutputLayers (losses :307, inference :465)
+    and ``fast_rcnn_inference`` (:46)
+  - ``box_head.py:26`` FastRCNNConvFCHead, ``mask_head.py:215``
+    MaskRCNNConvUpsampleHead (+ mask_rcnn_loss :33, mask_rcnn_inference :115)
+
+TPU design: fixed capacities everywhere — 512 sampled proposals per image,
+fixed foreground-slot count for the mask branch, top-M candidate cap before
+class-aware NMS at inference. GT masks travel as box-relative patches
+(see ``mask_targets_from_patches``), never full-image bitmasks.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from u2seg_tpu.config.config import ROIHeadsConfig
+from u2seg_tpu.models import matcher, sampling
+from u2seg_tpu.models.fpn import FPN_STRIDES
+from u2seg_tpu.ops import losses as L
+from u2seg_tpu.ops.nms import batched_nms
+from u2seg_tpu.ops.roi_align import multilevel_roi_align, roi_align
+from u2seg_tpu.structures import boxes as box_ops
+from u2seg_tpu.structures.instances import Detections, GtInstances
+
+
+# ---------------------------------------------------------------------------
+# Gradient scaling between cascade stages (ref cascade_rcnn.py:20-28)
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def scale_gradient(x, scale: float):
+    return x
+
+
+def _sg_fwd(x, scale):
+    return x, scale
+
+
+def _sg_bwd(scale, g):
+    return (jax.tree_util.tree_map(lambda t: t * scale, g), None)
+
+
+scale_gradient.defvjp(_sg_fwd, _sg_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Heads
+# ---------------------------------------------------------------------------
+
+class FastRCNNConvFCHead(nn.Module):
+    """convs + flatten + FCs (ref box_head.py:26; u2seg: 2xFC-1024)."""
+
+    num_conv: int = 0
+    conv_dim: int = 256
+    num_fc: int = 2
+    fc_dim: int = 1024
+    norm: str = ""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from u2seg_tpu.ops.norms import get_norm
+
+        for i in range(self.num_conv):
+            x = nn.Conv(
+                self.conv_dim, (3, 3), padding=[(1, 1), (1, 1)],
+                use_bias=self.norm == "",
+                kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+                name=f"conv{i + 1}",
+            )(x)
+            norm_mod = get_norm(self.norm, self.conv_dim)
+            if norm_mod is not None:
+                x = norm_mod(x) if not isinstance(norm_mod, nn.BatchNorm) else norm_mod(
+                    x, use_running_average=not train
+                )
+            x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        for i in range(self.num_fc):
+            x = nn.Dense(
+                self.fc_dim,
+                kernel_init=nn.initializers.variance_scaling(
+                    1.0, "fan_avg", "uniform"
+                ),
+                name=f"fc{i + 1}",
+            )(x)
+            x = nn.relu(x)
+        return x
+
+
+class FastRCNNOutputLayers(nn.Module):
+    """Linear cls (C+1) + linear box deltas (ref fast_rcnn.py:174-306)."""
+
+    num_classes: int
+    cls_agnostic_bbox_reg: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        scores = nn.Dense(
+            self.num_classes + 1, kernel_init=nn.initializers.normal(0.01),
+            name="cls_score",
+        )(x)
+        num_bbox_out = 4 if self.cls_agnostic_bbox_reg else 4 * self.num_classes
+        deltas = nn.Dense(
+            num_bbox_out, kernel_init=nn.initializers.normal(0.001),
+            name="bbox_pred",
+        )(x)
+        return scores, deltas
+
+
+class MaskRCNNConvUpsampleHead(nn.Module):
+    """4x conv256 + 2x deconv + 1x1 predictor (ref mask_head.py:215-298)."""
+
+    num_classes: int           # 1 if cls-agnostic
+    num_conv: int = 4
+    conv_dim: int = 256
+    norm: str = ""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+        for i in range(self.num_conv):
+            x = nn.Conv(
+                self.conv_dim, (3, 3), padding=[(1, 1), (1, 1)],
+                kernel_init=init, name=f"mask_fcn{i + 1}",
+            )(x)
+            x = nn.relu(x)
+        x = nn.ConvTranspose(
+            self.conv_dim, (2, 2), strides=(2, 2), kernel_init=init,
+            name="deconv",
+        )(x)
+        x = nn.relu(x)
+        x = nn.Conv(
+            self.num_classes, (1, 1),
+            kernel_init=nn.initializers.normal(0.001), name="predictor",
+        )(x)
+        return x  # (N, 2*R, 2*R, num_classes)
+
+
+# ---------------------------------------------------------------------------
+# Proposal labeling / sampling (ref roi_heads.py:220-320)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SampledProposals:
+    boxes: jnp.ndarray        # (B, S, 4)
+    valid: jnp.ndarray        # (B, S) bool
+    is_fg: jnp.ndarray        # (B, S) bool
+    gt_classes: jnp.ndarray   # (B, S) int32 — num_classes for bg
+    gt_idx: jnp.ndarray       # (B, S) int32 matched gt row (junk for bg)
+
+
+def add_ground_truth_to_proposals(
+    prop_boxes, prop_scores, prop_valid, gt: GtInstances
+):
+    """Append gt boxes to the proposal set (ref proposal_utils.py
+    add_ground_truth_to_proposals; called at roi_heads.py:243)."""
+    gt_score = jnp.where(gt.valid, 10.0, -jnp.inf)  # "logit of ~1" per ref
+    boxes = jnp.concatenate([prop_boxes, gt.boxes], axis=1)
+    scores = jnp.concatenate([prop_scores, gt_score], axis=1)
+    valid = jnp.concatenate([prop_valid, gt.valid], axis=1)
+    return boxes, scores, valid
+
+
+def label_and_sample_proposals(
+    rng, prop_boxes, prop_valid, gt: GtInstances,
+    iou_threshold: float, num_samples: int, positive_fraction: float,
+    num_classes: int,
+) -> SampledProposals:
+    """Match proposals to gt at one IoU threshold, then sample a fixed-size
+    fg/bg batch. Background slots get class id ``num_classes``."""
+    b = prop_boxes.shape[0]
+    rngs = jax.random.split(rng, b)
+
+    def per_image(rng_i, boxes, valid, gt_boxes, gt_classes, gt_valid):
+        iou = box_ops.pairwise_iou(gt_boxes, boxes)
+        iou = jnp.where(valid[None, :], iou, 0.0)
+        midx, mlabel = matcher.match(
+            iou, gt_valid, (iou_threshold,), (0, 1),
+            allow_low_quality_matches=False,
+        )
+        # invalid proposals must never be sampled
+        mlabel = jnp.where(valid, mlabel, jnp.int8(-1))
+        sidx, svalid, spos = sampling.subsample_labels(
+            rng_i, mlabel, num_samples, positive_fraction
+        )
+        sboxes = boxes[sidx]
+        sgt_idx = midx[sidx]
+        cls = jnp.where(spos, gt_classes[sgt_idx], num_classes)
+        cls = jnp.where(svalid, cls, num_classes)
+        return sboxes, svalid, spos, cls.astype(jnp.int32), sgt_idx
+
+    sb, sv, sp, sc, sg = jax.vmap(per_image)(
+        rngs, prop_boxes, prop_valid, gt.boxes, gt.classes, gt.valid
+    )
+    return SampledProposals(sb, sv, sp, sc, sg)
+
+
+def match_and_label_boxes(
+    boxes, valid, gt: GtInstances, iou_threshold: float, num_classes: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Cascade stages >0: re-match refined boxes without re-sampling
+    (ref cascade_rcnn.py:207-250). Returns (gt_classes, gt_idx, is_fg)."""
+
+    def per_image(bx, vl, gt_boxes, gt_classes, gt_valid):
+        iou = box_ops.pairwise_iou(gt_boxes, bx)
+        iou = jnp.where(vl[None, :], iou, 0.0)
+        midx, mlabel = matcher.match(
+            iou, gt_valid, (iou_threshold,), (0, 1), False
+        )
+        fg = (mlabel == 1) & vl
+        cls = jnp.where(fg, gt_classes[midx], num_classes)
+        cls = jnp.where(vl, cls, num_classes)
+        return cls.astype(jnp.int32), midx, fg
+
+    return jax.vmap(per_image)(boxes, valid, gt.boxes, gt.classes, gt.valid)
+
+
+# ---------------------------------------------------------------------------
+# Mask targets from box-relative GT patches
+# ---------------------------------------------------------------------------
+
+def mask_targets_from_patches(
+    patches: jnp.ndarray,     # (N, P, P) gt masks cropped to their gt box
+    gt_boxes: jnp.ndarray,    # (N, 4) the boxes the patches are relative to
+    roi_boxes: jnp.ndarray,   # (N, 4) proposal boxes to extract targets for
+    out_size: int,
+) -> jnp.ndarray:
+    """Resample gt-box-relative mask patches at proposal boxes.
+
+    Equivalent (up to one extra bilinear resample) to the reference's
+    ``BitMasks.crop_and_resize(proposal_boxes)`` on full-image masks
+    (mask_head.py:33-113) but with O(P^2) per-instance memory.
+    """
+    n, p, _ = patches.shape
+    gw = jnp.maximum(gt_boxes[:, 2] - gt_boxes[:, 0], 1e-4)
+    gh = jnp.maximum(gt_boxes[:, 3] - gt_boxes[:, 1], 1e-4)
+    # proposal box in patch coordinates
+    sx = p / gw
+    sy = p / gh
+    px0 = (roi_boxes[:, 0] - gt_boxes[:, 0]) * sx
+    py0 = (roi_boxes[:, 1] - gt_boxes[:, 1]) * sy
+    px1 = (roi_boxes[:, 2] - gt_boxes[:, 0]) * sx
+    py1 = (roi_boxes[:, 3] - gt_boxes[:, 1]) * sy
+    pboxes = jnp.stack([px0, py0, px1, py1], axis=-1)
+    out = roi_align(
+        patches[..., None], pboxes, jnp.arange(n, dtype=jnp.int32),
+        out_size, 1.0, sampling_ratio=2, aligned=True,
+    )
+    return out[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Inference (ref fast_rcnn.py:46-173 fast_rcnn_inference)
+# ---------------------------------------------------------------------------
+
+def fast_rcnn_inference(
+    boxes: jnp.ndarray,        # (B, K, C*4) or (B, K, 4)
+    scores: jnp.ndarray,       # (B, K, C+1) softmax probabilities
+    prop_valid: jnp.ndarray,   # (B, K)
+    image_sizes: jnp.ndarray,  # (B, 2)
+    score_thresh: float,
+    nms_thresh: float,
+    max_detections: int,
+    candidate_topk: int = 2048,
+) -> Detections:
+    """Per-class score threshold -> top-M candidate cap -> class-aware NMS ->
+    top ``max_detections``. The candidate cap is the one TPU deviation from
+    the reference (which keeps all above-threshold pairs); M=2048 comfortably
+    exceeds what survives score 0.05 in practice."""
+    bsz, k, cp1 = scores.shape
+    num_classes = cp1 - 1
+
+    def per_image(box, score, valid, hw):
+        cls_scores = score[:, :-1]                    # (K, C)
+        cls_scores = jnp.where(valid[:, None], cls_scores, 0.0)
+        if box.shape[-1] == 4:
+            cand_boxes = jnp.broadcast_to(box[:, None, :], (k, num_classes, 4))
+        else:
+            cand_boxes = box.reshape(k, num_classes, 4)
+        flat_scores = cls_scores.reshape(-1)
+        flat_scores = jnp.where(flat_scores > score_thresh, flat_scores, -jnp.inf)
+        m = min(candidate_topk, flat_scores.shape[0])
+        top_s, top_i = jax.lax.top_k(flat_scores, m)
+        cand = cand_boxes.reshape(-1, 4)[top_i]
+        cand = box_ops.clip(cand, hw)
+        cls_id = (top_i % num_classes).astype(jnp.int32)
+        keep_idx, keep_valid = batched_nms(cand, top_s, cls_id, nms_thresh, max_detections)
+        det_boxes = cand[keep_idx]
+        det_scores = jnp.where(keep_valid, top_s[keep_idx], 0.0)
+        det_cls = cls_id[keep_idx]
+        return det_boxes, det_scores, det_cls, keep_valid
+
+    db, ds, dc, dv = jax.vmap(per_image)(boxes, scores, prop_valid, image_sizes)
+    return Detections(boxes=db, scores=ds, classes=dc, valid=dv)
+
+
+# ---------------------------------------------------------------------------
+# ROI heads modules
+# ---------------------------------------------------------------------------
+
+class StandardROIHeads(nn.Module):
+    """Box + mask branches with separate poolers (ref roi_heads.py:530)."""
+
+    cfg: ROIHeadsConfig
+    mask_fg_capacity: int = 128
+
+    def setup(self):
+        c = self.cfg
+        self.box_head = FastRCNNConvFCHead(
+            num_conv=c.box_head.num_conv, conv_dim=c.box_head.conv_dim,
+            num_fc=c.box_head.num_fc, fc_dim=c.box_head.fc_dim,
+            norm=c.box_head.norm, name="box_head",
+        )
+        self.box_predictor = FastRCNNOutputLayers(
+            c.num_classes, c.cls_agnostic_bbox_reg, name="box_predictor"
+        )
+        if c.mask_on:
+            self.mask_head = MaskRCNNConvUpsampleHead(
+                num_classes=1 if c.mask_head.cls_agnostic_mask else c.num_classes,
+                num_conv=c.mask_head.num_conv, conv_dim=c.mask_head.conv_dim,
+                norm=c.mask_head.norm, name="mask_head",
+            )
+
+    def _strides(self):
+        return [FPN_STRIDES[f] for f in self.cfg.in_features]
+
+    def _pool(self, features, boxes, resolution, sampling_ratio):
+        """boxes: (B, K, 4) -> pooled (B*K, R, R, C)."""
+        b, k, _ = boxes.shape
+        flat = boxes.reshape(-1, 4)
+        bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
+        feats = [features[f] for f in self.cfg.in_features]
+        return multilevel_roi_align(
+            feats, flat, bidx, resolution, self._strides(),
+            sampling_ratio=sampling_ratio,
+        )
+
+    def _box_losses(self, scores, deltas, proposals: SampledProposals,
+                    matched_gt_boxes, reg_weights):
+        """Softmax CE on all samples + smooth-l1 on fg (ref fast_rcnn.py:307)."""
+        c = self.cfg
+        b, s = proposals.valid.shape
+        cls_loss = L.softmax_ce(scores.reshape(b, s, -1), proposals.gt_classes)
+        cls_loss = jnp.sum(cls_loss * proposals.valid)
+
+        # regression target: deltas from proposal to matched gt box
+        flat_prop = proposals.boxes.reshape(-1, 4)
+        tgt = box_ops.get_deltas(flat_prop, matched_gt_boxes.reshape(-1, 4), reg_weights)
+        d = deltas.reshape(b, s, -1)
+        if not c.cls_agnostic_bbox_reg:
+            # pick the gt-class delta group
+            idx = jnp.clip(proposals.gt_classes, 0, c.num_classes - 1)
+            d = jnp.take_along_axis(
+                d.reshape(b, s, c.num_classes, 4), idx[..., None, None], axis=2
+            )[..., 0, :]
+        else:
+            d = d[..., :4]
+        reg = L.smooth_l1(d, tgt.reshape(b, s, 4), c.smooth_l1_beta)
+        reg_loss = jnp.sum(jnp.sum(reg, -1) * proposals.is_fg)
+
+        normalizer = jnp.maximum(jnp.sum(proposals.valid), 1.0)
+        return {
+            "loss_cls": cls_loss / normalizer,
+            "loss_box_reg": reg_loss / normalizer,
+        }
+
+    def _select_mask_rois(self, proposals: SampledProposals, rng):
+        """Fixed-capacity foreground selection for the mask branch."""
+        b, s = proposals.is_fg.shape
+        cap = self.mask_fg_capacity
+
+        def per_image(fg):
+            # deterministic: first `cap` fg slots (sampling already random)
+            order = jnp.argsort(~fg)  # fg first, stable
+            idx = order[:cap]
+            return idx.astype(jnp.int32), fg[idx]
+
+        return jax.vmap(per_image)(proposals.is_fg)
+
+    def _mask_loss(self, features, proposals: SampledProposals, gt: GtInstances, train):
+        c = self.cfg
+        b, s = proposals.valid.shape
+        midx, mvalid = self._select_mask_rois(proposals, None)  # (B, cap)
+        cap = midx.shape[1]
+        mboxes = jnp.take_along_axis(proposals.boxes, midx[..., None], axis=1)
+        pooled = self._pool(
+            features, mboxes, c.mask_head.pooler_resolution,
+            c.mask_head.pooler_sampling_ratio,
+        )
+        logits = self.mask_head(pooled, train=train)  # (B*cap, 2R, 2R, Cm)
+        out_size = logits.shape[1]
+
+        # gather matched gt patches/boxes
+        mgt_idx = jnp.take_along_axis(proposals.gt_idx, midx, axis=1)  # (B, cap)
+        mcls = jnp.take_along_axis(proposals.gt_classes, midx, axis=1)
+
+        def per_image(patches, gt_boxes, gidx, rboxes):
+            return mask_targets_from_patches(
+                patches[gidx], gt_boxes[gidx], rboxes, out_size
+            )
+
+        targets = jax.vmap(per_image)(
+            gt.masks, gt.boxes, mgt_idx, mboxes
+        )  # (B, cap, R2, R2)
+        targets = (targets > 0.5).astype(jnp.float32)
+
+        logits = logits.reshape(b, cap, out_size, out_size, -1)
+        if logits.shape[-1] == 1:
+            sel_logits = logits[..., 0]
+        else:
+            cls_idx = jnp.clip(mcls, 0, logits.shape[-1] - 1)
+            sel_logits = jnp.take_along_axis(
+                logits, cls_idx[..., None, None, None], axis=-1
+            )[..., 0]
+        per_px = L.bce_with_logits(sel_logits, targets)
+        per_roi = jnp.mean(per_px, axis=(-2, -1))
+        num_fg = jnp.maximum(jnp.sum(mvalid), 1.0)
+        return {"loss_mask": jnp.sum(per_roi * mvalid) / num_fg}
+
+    def _mask_inference(self, features, det: Detections, train=False):
+        c = self.cfg
+        b, k = det.valid.shape
+        pooled = self._pool(
+            features, det.boxes, c.mask_head.pooler_resolution,
+            c.mask_head.pooler_sampling_ratio,
+        )
+        logits = self.mask_head(pooled, train=train)
+        out_size = logits.shape[1]
+        logits = logits.reshape(b, k, out_size, out_size, -1)
+        if logits.shape[-1] == 1:
+            sel = logits[..., 0]
+        else:
+            cls_idx = jnp.clip(det.classes, 0, logits.shape[-1] - 1)
+            sel = jnp.take_along_axis(
+                logits, cls_idx[..., None, None, None], axis=-1
+            )[..., 0]
+        return dataclasses.replace(det, mask_logits=sel)
+
+    def __call__(
+        self,
+        features: Dict[str, jnp.ndarray],
+        rpn_boxes: jnp.ndarray,
+        rpn_scores: jnp.ndarray,
+        rpn_valid: jnp.ndarray,
+        image_sizes: jnp.ndarray,
+        gt: Optional[GtInstances] = None,
+        train: bool = False,
+    ):
+        c = self.cfg
+        if train:
+            assert gt is not None
+            rng = self.make_rng("sampling")
+            boxes, scores, valid = add_ground_truth_to_proposals(
+                rpn_boxes, rpn_scores, rpn_valid, gt
+            )
+            proposals = label_and_sample_proposals(
+                rng, boxes, valid, gt, c.iou_thresholds[0],
+                c.batch_size_per_image, c.positive_fraction, c.num_classes,
+            )
+            matched_gt_boxes = jnp.take_along_axis(
+                gt.boxes, proposals.gt_idx[..., None], axis=1
+            )
+            pooled = self._pool(
+                features, proposals.boxes, c.box_head.pooler_resolution,
+                c.box_head.pooler_sampling_ratio,
+            )
+            x = self.box_head(pooled, train=train)
+            scores_p, deltas_p = self.box_predictor(x)
+            losses = self._box_losses(
+                scores_p, deltas_p, proposals, matched_gt_boxes, c.bbox_reg_weights
+            )
+            if c.mask_on and gt.masks is not None:
+                losses.update(self._mask_loss(features, proposals, gt, train))
+            return losses
+        else:
+            b, k, _ = rpn_boxes.shape
+            pooled = self._pool(
+                features, rpn_boxes, c.box_head.pooler_resolution,
+                c.box_head.pooler_sampling_ratio,
+            )
+            x = self.box_head(pooled, train=False)
+            scores_p, deltas_p = self.box_predictor(x)
+            probs = jax.nn.softmax(scores_p, axis=-1).reshape(b, k, -1)
+            pred_boxes = box_ops.apply_deltas(
+                deltas_p.reshape(b, k, -1),
+                rpn_boxes,
+                c.bbox_reg_weights,
+            )
+            det = fast_rcnn_inference(
+                pred_boxes, probs, rpn_valid, image_sizes,
+                c.score_thresh_test, c.nms_thresh_test, c.detections_per_image,
+            )
+            if c.mask_on:
+                det = self._mask_inference(features, det)
+            return det
+
+
+class CascadeROIHeads(StandardROIHeads):
+    """3-stage box refinement (ref cascade_rcnn.py:32-299)."""
+
+    def setup(self):
+        c = self.cfg
+        n = len(c.cascade_ious)
+        self.box_heads = [
+            FastRCNNConvFCHead(
+                num_conv=c.box_head.num_conv, conv_dim=c.box_head.conv_dim,
+                num_fc=c.box_head.num_fc, fc_dim=c.box_head.fc_dim,
+                norm=c.box_head.norm, name=f"box_head{i}",
+            )
+            for i in range(n)
+        ]
+        self.box_predictors = [
+            FastRCNNOutputLayers(
+                c.num_classes, cls_agnostic_bbox_reg=True, name=f"box_predictor{i}"
+            )
+            for i in range(n)
+        ]
+        if c.mask_on:
+            self.mask_head = MaskRCNNConvUpsampleHead(
+                num_classes=1 if c.mask_head.cls_agnostic_mask else c.num_classes,
+                num_conv=c.mask_head.num_conv, conv_dim=c.mask_head.conv_dim,
+                norm=c.mask_head.norm, name="mask_head",
+            )
+
+    def _run_stage(self, features, boxes, stage: int, train: bool):
+        c = self.cfg
+        pooled = self._pool(
+            features, boxes, c.box_head.pooler_resolution,
+            c.box_head.pooler_sampling_ratio,
+        )
+        pooled = scale_gradient(pooled, 1.0 / len(c.cascade_ious))
+        x = self.box_heads[stage](pooled, train=train)
+        return self.box_predictors[stage](x)
+
+    def _refine(self, deltas, boxes, stage, image_sizes):
+        c = self.cfg
+        b, k = boxes.shape[:2]
+        new = box_ops.apply_deltas(
+            deltas.reshape(b, k, -1)[..., :4], boxes,
+            c.cascade_bbox_reg_weights[stage],
+        )
+        def clip_im(bx, hw):
+            return box_ops.clip(bx, hw)
+        return jax.lax.stop_gradient(jax.vmap(clip_im)(new, image_sizes))
+
+    def __call__(
+        self, features, rpn_boxes, rpn_scores, rpn_valid, image_sizes,
+        gt: Optional[GtInstances] = None, train: bool = False,
+    ):
+        c = self.cfg
+        num_stages = len(c.cascade_ious)
+        if train:
+            assert gt is not None
+            rng = self.make_rng("sampling")
+            boxes0, scores0, valid0 = add_ground_truth_to_proposals(
+                rpn_boxes, rpn_scores, rpn_valid, gt
+            )
+            proposals = label_and_sample_proposals(
+                rng, boxes0, valid0, gt, c.cascade_ious[0],
+                c.batch_size_per_image, c.positive_fraction, c.num_classes,
+            )
+            boxes = proposals.boxes
+            valid = proposals.valid
+            losses: Dict[str, jnp.ndarray] = {}
+            cur = proposals
+            for stage in range(num_stages):
+                if stage > 0:
+                    cls, gidx, fg = match_and_label_boxes(
+                        boxes, valid, gt, c.cascade_ious[stage], c.num_classes
+                    )
+                    cur = SampledProposals(
+                        boxes=boxes, valid=valid, is_fg=fg,
+                        gt_classes=cls, gt_idx=gidx,
+                    )
+                matched_gt_boxes = jnp.take_along_axis(
+                    gt.boxes, cur.gt_idx[..., None], axis=1
+                )
+                scores_p, deltas_p = self._run_stage(features, boxes, stage, train)
+                stage_losses = self._box_losses(
+                    scores_p, deltas_p, cur, matched_gt_boxes,
+                    c.cascade_bbox_reg_weights[stage],
+                )
+                losses.update(
+                    {f"{k}_stage{stage}": v for k, v in stage_losses.items()}
+                )
+                if stage < num_stages - 1:
+                    boxes = self._refine(deltas_p, boxes, stage, image_sizes)
+            if c.mask_on and gt.masks is not None:
+                losses.update(self._mask_loss(features, proposals, gt, train))
+            return losses
+        else:
+            boxes = rpn_boxes
+            b, k = boxes.shape[:2]
+            all_probs = []
+            deltas_p = None
+            for stage in range(num_stages):
+                scores_p, deltas_p = self._run_stage(features, boxes, stage, False)
+                all_probs.append(jax.nn.softmax(scores_p, -1).reshape(b, k, -1))
+                if stage < num_stages - 1:
+                    boxes = self._refine(deltas_p, boxes, stage, image_sizes)
+            # averaged stage scores (ref cascade_rcnn.py:160-175)
+            probs = sum(all_probs) / num_stages
+            pred_boxes = box_ops.apply_deltas(
+                deltas_p.reshape(b, k, -1)[..., :4], boxes,
+                c.cascade_bbox_reg_weights[-1],
+            )
+            det = fast_rcnn_inference(
+                pred_boxes, probs, rpn_valid, image_sizes,
+                c.score_thresh_test, c.nms_thresh_test, c.detections_per_image,
+            )
+            if c.mask_on:
+                det = self._mask_inference(features, det)
+            return det

@@ -1,0 +1,198 @@
+"""Region Proposal Network (Flax, static shapes).
+
+Counterpart of ``detectron2/modeling/proposal_generator/rpn.py``
+(StandardRPNHead :67, RPN :181: label_and_sample_anchors :307, losses :366,
+forward :431, predict_proposals :482) and ``proposal_utils.py``
+(find_top_rpn_proposals).
+
+TPU design: every stage has fixed capacity — per-level pre-NMS top-k,
+per-level NMS (vmapped across levels & images so serial suppression depth is
+paid once), cross-level post-NMS top-k — with validity masks instead of
+variable lengths.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from u2seg_tpu.config.config import AnchorConfig, RPNConfig
+from u2seg_tpu.models import matcher, sampling
+from u2seg_tpu.models.anchors import multilevel_anchors
+from u2seg_tpu.models.fpn import FPN_STRIDES
+from u2seg_tpu.ops import losses as L
+from u2seg_tpu.ops.nms import nms
+from u2seg_tpu.structures import boxes as box_ops
+from u2seg_tpu.structures.instances import GtInstances
+
+
+class RPNHead(nn.Module):
+    """Shared 3x3 conv -> (objectness, anchor deltas) 1x1s (ref rpn.py:67)."""
+
+    num_anchors: int
+    conv_dims: Tuple[int, ...] = (-1,)
+
+    @nn.compact
+    def __call__(self, features: Sequence[jnp.ndarray]):
+        init = nn.initializers.normal(0.01)
+        logits, deltas = [], []
+        # build shared convs once; apply to each level
+        convs = []
+        for i, dim in enumerate(self.conv_dims):
+            out_dim = features[0].shape[-1] if dim == -1 else dim
+            convs.append(
+                nn.Conv(out_dim, (3, 3), padding=[(1, 1), (1, 1)],
+                        kernel_init=init, name=f"conv{i}")
+            )
+        obj = nn.Conv(self.num_anchors, (1, 1), kernel_init=init, name="objectness_logits")
+        anc = nn.Conv(self.num_anchors * 4, (1, 1), kernel_init=init, name="anchor_deltas")
+        for x in features:
+            t = x
+            for conv in convs:
+                t = nn.relu(conv(t))
+            logits.append(obj(t))
+            deltas.append(anc(t))
+        return logits, deltas
+
+
+@dataclasses.dataclass
+class RPNOutput:
+    proposal_boxes: jnp.ndarray   # (B, K, 4)
+    proposal_scores: jnp.ndarray  # (B, K) — -inf for invalid
+    proposal_valid: jnp.ndarray   # (B, K) bool
+    losses: Dict[str, jnp.ndarray]
+
+
+class RPN(nn.Module):
+    """Full RPN over FPN features."""
+
+    cfg: RPNConfig
+    anchor_cfg: AnchorConfig
+
+    def _anchors(self, feats: Dict[str, jnp.ndarray]) -> List[jnp.ndarray]:
+        names = list(self.cfg.in_features)
+        shapes = [feats[n].shape[1:3] for n in names]
+        strides = [FPN_STRIDES[n] for n in names]
+        return multilevel_anchors(
+            shapes, strides, self.anchor_cfg.sizes, self.anchor_cfg.aspect_ratios,
+            self.anchor_cfg.offset,
+        )
+
+    @nn.compact
+    def __call__(
+        self,
+        features: Dict[str, jnp.ndarray],
+        image_sizes: jnp.ndarray,                    # (B, 2) = (h, w)
+        gt: Optional[GtInstances] = None,            # batched, for training
+        train: bool = False,
+    ) -> RPNOutput:
+        c = self.cfg
+        feats = [features[f] for f in c.in_features]
+        num_anchors = len(self.anchor_cfg.aspect_ratios)
+        head = RPNHead(num_anchors, name="head")
+        logits_hwc, deltas_hwc = head(feats)
+
+        b = feats[0].shape[0]
+        # flatten per level: (B, H*W*A) / (B, H*W*A, 4); NHWC + inner-A order
+        # matches anchor enumeration in anchors.grid_anchors.
+        logits = [l.reshape(b, -1) for l in logits_hwc]
+        deltas = [d.reshape(b, -1, 4) for d in deltas_hwc]
+        anchors = self._anchors(features)            # list of (N_l, 4)
+
+        losses: Dict[str, jnp.ndarray] = {}
+        if train and gt is not None:
+            losses = self._losses(anchors, logits, deltas, gt, image_sizes)
+
+        topk = c.pre_nms_topk_train if train else c.pre_nms_topk_test
+        post = c.post_nms_topk_train if train else c.post_nms_topk_test
+        boxes, scores, valid = self._predict_proposals(
+            anchors, logits, deltas, image_sizes, topk, post
+        )
+        if train:
+            # proposal boxes feed ROI sampling only — block gradients
+            boxes = jax.lax.stop_gradient(boxes)
+            scores = jax.lax.stop_gradient(scores)
+        return RPNOutput(boxes, scores, valid, losses)
+
+    # ------------------------------------------------------------------
+    # Training targets & losses (ref rpn.py:307-430)
+    # ------------------------------------------------------------------
+    def _losses(self, anchors, logits, deltas, gt: GtInstances, image_sizes):
+        c = self.cfg
+        all_anchors = jnp.concatenate(anchors, axis=0)        # (N, 4)
+        all_logits = jnp.concatenate(logits, axis=1)          # (B, N)
+        all_deltas = jnp.concatenate(deltas, axis=1)          # (B, N, 4)
+        b = all_logits.shape[0]
+        rng = self.make_rng("sampling")
+        rngs = jax.random.split(rng, b)
+
+        def per_image(rng_i, gt_boxes, gt_valid, logit, delta):
+            iou = box_ops.pairwise_iou(gt_boxes, all_anchors)  # (G, N)
+            midx, mlabel = matcher.match(
+                iou, gt_valid, c.iou_thresholds, (0, -1, 1),
+                allow_low_quality_matches=True,
+            )
+            sidx, svalid, spos = sampling.subsample_labels(
+                rng_i, mlabel, c.batch_size_per_image, c.positive_fraction
+            )
+            # objectness: BCE over sampled anchors (pos=1, neg=0)
+            s_logit = logit[sidx]
+            obj_loss = L.bce_with_logits(s_logit, spos.astype(s_logit.dtype))
+            obj_loss = jnp.sum(obj_loss * svalid)
+            # box reg: smooth-l1 on positive samples against matched gt
+            tgt = box_ops.get_deltas(
+                all_anchors[sidx], gt_boxes[midx[sidx]], c.bbox_reg_weights
+            )
+            reg = L.smooth_l1(delta[sidx], tgt, c.smooth_l1_beta)
+            reg_loss = jnp.sum(jnp.sum(reg, -1) * spos)
+            return obj_loss, reg_loss
+
+        obj_loss, reg_loss = jax.vmap(per_image)(
+            rngs, gt.boxes, gt.valid, all_logits, all_deltas
+        )
+        normalizer = c.batch_size_per_image * b
+        return {
+            "loss_rpn_cls": c.loss_weight * jnp.sum(obj_loss) / normalizer,
+            "loss_rpn_loc": c.loss_weight * jnp.sum(reg_loss) / normalizer,
+        }
+
+    # ------------------------------------------------------------------
+    # Proposal selection (ref proposal_utils.find_top_rpn_proposals)
+    # ------------------------------------------------------------------
+    def _predict_proposals(self, anchors, logits, deltas, image_sizes, topk, post):
+        c = self.cfg
+        b = logits[0].shape[0]
+
+        lvl_boxes, lvl_scores = [], []
+        for anc, logit, delta in zip(anchors, logits, deltas):
+            n_l = anc.shape[0]
+            k = min(topk, n_l)
+            score, idx = jax.lax.top_k(logit, k)                  # (B, k)
+            sel_delta = jnp.take_along_axis(delta, idx[..., None], axis=1)
+            sel_anc = anc[idx]                                    # (B, k, 4)
+            box = box_ops.apply_deltas(sel_delta, sel_anc, c.bbox_reg_weights)
+            lvl_boxes.append(box)
+            lvl_scores.append(score)
+
+        def per_image(boxes_l: List[jnp.ndarray], scores_l: List[jnp.ndarray], hw):
+            kept_b, kept_s = [], []
+            for box, score in zip(boxes_l, scores_l):
+                box = box_ops.clip(box, hw)
+                ok = box_ops.nonempty(box, threshold=c.min_size)
+                score = jnp.where(ok, score, -jnp.inf)
+                cap = min(post, box.shape[0])
+                kidx, kvalid = nms(box, score, c.nms_thresh, cap)
+                kept_b.append(jnp.where(kvalid[:, None], box[kidx], 0.0))
+                kept_s.append(jnp.where(kvalid, score[kidx], -jnp.inf))
+            all_b = jnp.concatenate(kept_b, axis=0)
+            all_s = jnp.concatenate(kept_s, axis=0)
+            fs, fi = jax.lax.top_k(all_s, post)
+            return all_b[fi], fs
+
+        boxes, scores = jax.vmap(per_image)(lvl_boxes, lvl_scores, image_sizes)
+        valid = scores > -jnp.inf
+        boxes = jnp.where(valid[..., None], boxes, 0.0)
+        return boxes, scores, valid

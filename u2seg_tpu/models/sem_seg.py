@@ -1,0 +1,69 @@
+"""Semantic segmentation FPN head.
+
+Counterpart of ``detectron2/modeling/meta_arch/semantic_seg.py``
+(SemSegFPNHead :143, layers :246, losses :255): per-level scale heads
+(3x3 conv + GN + relu, 2x bilinear upsamples down to the common stride),
+summed, 1x1 predictor, 4x upsample to input resolution, pixel CE with
+ignore label 255 and loss weight 0.5.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from u2seg_tpu.config.config import SemSegHeadConfig
+from u2seg_tpu.models.fpn import FPN_STRIDES
+from u2seg_tpu.ops import losses as L
+
+
+def _resize_bilinear(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    return jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]), method="bilinear")
+
+
+class SemSegFPNHead(nn.Module):
+    cfg: SemSegHeadConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        features: Dict[str, jnp.ndarray],
+        targets: Optional[jnp.ndarray] = None,   # (B, H, W) int, 255=ignore
+        train: bool = False,
+    ):
+        c = self.cfg
+        init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+        summed = None
+        for name in c.in_features:
+            stride = FPN_STRIDES[name]
+            head_length = max(1, int(math.log2(stride) - math.log2(c.common_stride)))
+            x = features[name]
+            for k in range(head_length):
+                x = nn.Conv(
+                    c.conv_dim, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=c.norm == "", kernel_init=init,
+                    name=f"{name}_conv{k}",
+                )(x)
+                if c.norm == "GN":
+                    x = nn.GroupNorm(num_groups=32, name=f"{name}_gn{k}")(x)
+                x = nn.relu(x)
+                if stride != c.common_stride:
+                    x = _resize_bilinear(x, x.shape[1] * 2, x.shape[2] * 2)
+                    stride //= 2
+            summed = x if summed is None else summed + x
+        logits = nn.Conv(
+            c.num_classes, (1, 1), kernel_init=nn.initializers.normal(0.01),
+            name="predictor",
+        )(summed)  # (B, H/4, W/4, C)
+
+        full = _resize_bilinear(
+            logits, logits.shape[1] * c.common_stride,
+            logits.shape[2] * c.common_stride,
+        )
+        if train and targets is not None:
+            loss = L.softmax_ce_ignore(full, targets, c.ignore_value)
+            return full, {"loss_sem_seg": loss * c.loss_weight}
+        return full, {}
