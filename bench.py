@@ -14,12 +14,38 @@ the COCO eval input bucket (800x1344), steady-state, excluding compile.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 
+def _ensure_tpu_or_reexec(max_tries: int = 5, wait_s: int = 90) -> None:
+    """The axon TPU tunnel admits one client; if another process held the
+    claim when this interpreter started, the backend silently failed to
+    register and can only be retried in a FRESH process. Re-exec with a
+    retry counter in the environment."""
+    import jax
+
+    try:
+        jax.devices()
+        return
+    except RuntimeError as e:
+        tries = int(os.environ.get("U2SEG_BENCH_TRIES", "0"))
+        if tries >= max_tries or "axon" not in str(e):
+            raise
+        sys.stderr.write(
+            f"TPU backend unavailable ({e}); retry {tries + 1}/{max_tries} "
+            f"in {wait_s}s\n"
+        )
+        time.sleep(wait_s)
+        os.environ["U2SEG_BENCH_TRIES"] = str(tries + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
+    _ensure_tpu_or_reexec()
     import jax
     import jax.numpy as jnp
 
@@ -45,15 +71,20 @@ def main():
         out = model.apply(variables, images, sizes, train=False, combine=True)
         return out.detections.boxes, out.detections.scores, out.panoptic
 
+    def sync(o):
+        # force real completion: the experimental tunnel backend's
+        # block_until_ready can return early, so fetch a leaf to host
+        return np.asarray(jax.tree_util.tree_leaves(o)[0]).sum()
+
     # warmup / compile
     out = forward(variables, images, sizes)
-    jax.block_until_ready(out)
+    sync(out)
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         out = forward(variables, images, sizes)
-    jax.block_until_ready(out)
+        sync(out)
     dt = time.perf_counter() - t0
 
     imgs_per_s = b * iters / dt

@@ -18,6 +18,15 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Hard-remove the TPU tunnel backend: merely *initializing* it (which jax
+# may do during backend discovery even with jax_platforms=cpu) claims the
+# single-client TPU tunnel and starves any real TPU job running alongside.
+try:
+    from jax._src import xla_bridge as _xb
+
+    _xb._backend_factories.pop("axon", None)
+except Exception:
+    pass
 # persistent compile cache: the detection train graph takes minutes to
 # compile on CPU; cache hits make repeated pytest runs fast
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")

@@ -18,6 +18,7 @@ from u2seg_tpu.models.panoptic_fpn import PanopticFPN
 def small_r50_cfg():
     cfg = Config()
     m = cfg.model
+    m.compute_dtype = "float32"
     m.resnet.norm = "BN"       # BN so batch_stats exist like SyncBN
     m.fpn.norm = "BN"
     m.roi_heads.num_classes = 5

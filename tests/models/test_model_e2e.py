@@ -13,6 +13,7 @@ from u2seg_tpu.structures.instances import Detections, GtInstances
 def tiny_config(cascade=True) -> Config:
     cfg = Config()
     m = cfg.model
+    m.compute_dtype = "float32"
     m.resnet.norm = "BN"
     m.fpn.norm = ""
     m.roi_heads.num_classes = 7

@@ -141,6 +141,9 @@ class PanopticConfig:
 @dataclass
 class ModelConfig:
     meta_architecture: str = "PanopticFPN"
+    # computation dtype for convs/matmuls ("bfloat16" = TPU AMP; params and
+    # losses stay float32 — the counterpart of SOLVER.AMP.ENABLED)
+    compute_dtype: str = "bfloat16"
     # u2seg_R50_800.yaml:3-5 — RGB order + DINO normalization
     pixel_mean: Tuple[float, float, float] = (123.675, 116.280, 103.530)
     pixel_std: Tuple[float, float, float] = (58.395, 57.120, 57.375)

@@ -18,6 +18,7 @@ def tiny_spmd_config() -> Config:
     heads, SyncBN (psum over the mesh), class-agnostic regression."""
     cfg = Config()
     m = cfg.model
+    m.compute_dtype = "float32"   # CPU test mesh has no native bf16
     m.resnet.norm = "SyncBN"
     m.fpn.norm = "SyncBN"
     m.roi_heads.num_classes = 7

@@ -10,6 +10,7 @@ device ``Detections`` into original-resolution COCO records
 from __future__ import annotations
 
 import logging
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -194,35 +195,80 @@ class DefaultPredictor:
         return result
 
 
-def run_panoptic_evaluation(cfg: Config, eval_mode: str = "auto") -> dict:
-    """Dataset evaluation driver: loader -> jitted model -> postprocess ->
-    {COCO, SemSeg, Panoptic} evaluators (the eval-only path of
-    tools/train_net.py:125-138 + DefaultTrainer.test defaults.py:580)."""
-    import jax
-    import jax.numpy as jnp
-
-    from u2seg_tpu.data.builtin import register_all_coco
-    from u2seg_tpu.data.catalog import DatasetCatalog, MetadataCatalog
+def build_u2seg_evaluators(cfg: Config, meta, eval_mode: str,
+                           matching_dir: str = "./hungarian_matching"):
+    """Evaluator stack for the U2Seg protocol (the factory the reference
+    keeps in tools/train_net.py:42-80): instance AP + semantic mIoU +
+    panoptic PQ, each wired to the cluster-matching mode."""
+    from u2seg_tpu.data.builtin_meta import (
+        NUM_SUPERCATEGORIES, thing_dataset_id_to_contiguous_id,
+    )
     from u2seg_tpu.evaluation.coco_api import COCO
     from u2seg_tpu.evaluation.coco_evaluator import COCOEvaluator
     from u2seg_tpu.evaluation.evaluator import DatasetEvaluators
-    from u2seg_tpu.models.build import build_model
+    from u2seg_tpu.evaluation.panoptic_evaluator import COCOPanopticEvaluator
+    from u2seg_tpu.evaluation.sem_seg_evaluator import SemSegEvaluator
 
-    register_all_coco(cfg.datasets.root, cluster_num=cfg.datasets.cluster_num)
+    cluster_num = cfg.datasets.cluster_num
+    coco_gt = COCO(meta.json_file)
+    evals = [
+        SemSegEvaluator(
+            mode=eval_mode,
+            num_pred_classes=cfg.model.sem_seg_head.num_classes,
+            matching_dir=matching_dir,
+        ),
+        COCOEvaluator(
+            coco_gt, mode=eval_mode, num_clusters=cluster_num,
+            matching_dir=matching_dir,
+            tasks=("bbox",),   # segm skipped in the protocol (ref :353-354)
+        ),
+    ]
+    pan_json = meta.get("panoptic_json")
+    if pan_json and os.path.exists(pan_json):
+        thing_c2d = {
+            v: k for k, v in thing_dataset_id_to_contiguous_id().items()
+        }
+        categories = {}
+        for did in thing_c2d.values():
+            categories[did] = {"id": did, "isthing": 1}
+        for s in range(1, NUM_SUPERCATEGORIES + 1):
+            categories[cluster_num + s] = {
+                "id": cluster_num + s, "isthing": 0,
+            }
+        evals.append(COCOPanopticEvaluator(
+            categories, thing_c2d, cluster_num=cluster_num,
+            matching_dir=matching_dir,
+            mode="eval" if eval_mode in ("eval", "auto") else eval_mode,
+        ))
+    return DatasetEvaluators(evals), pan_json
+
+
+def run_panoptic_evaluation(cfg: Config, eval_mode: str = "auto") -> dict:
+    """Dataset evaluation driver: loader -> jitted model -> postprocess ->
+    {SemSeg, COCO, Panoptic} evaluators (the eval-only path of
+    tools/train_net.py:125-138 + DefaultTrainer.test defaults.py:580)."""
+    import json as jsonlib
+
+    import jax
+
+    from u2seg_tpu.data.builtin import register_all_coco
+    from u2seg_tpu.data.catalog import DatasetCatalog, MetadataCatalog
     from u2seg_tpu.data.loader import InferenceSampler
     from u2seg_tpu.data.mapper import read_image
 
+    register_all_coco(cfg.datasets.root, cluster_num=cfg.datasets.cluster_num)
     results = {}
     for dataset_name in cfg.datasets.test:
         dicts = DatasetCatalog.get(dataset_name)
         meta = MetadataCatalog.get(dataset_name)
-        coco_gt = COCO(meta.json_file)
-        evaluator = DatasetEvaluators([
-            COCOEvaluator(
-                coco_gt, mode=eval_mode,
-                num_clusters=cfg.datasets.cluster_num,
-            ),
-        ])
+        evaluator, pan_json = build_u2seg_evaluators(cfg, meta, eval_mode)
+        pan_gt_by_image = {}
+        if pan_json and os.path.exists(pan_json):
+            with open(pan_json) as f:
+                pj = jsonlib.load(f)
+            pan_gt_by_image = {
+                a["image_id"]: a for a in pj.get("annotations", [])
+            }
         predictor = DefaultPredictor(cfg)
         evaluator.reset()
         sampler = InferenceSampler(
@@ -232,6 +278,28 @@ def run_panoptic_evaluation(cfg: Config, eval_mode: str = "auto") -> dict:
             d = dicts[idx]
             img = read_image(d["file_name"], cfg.model.input_format)
             out = predictor(img)
-            evaluator.process([{"image_id": d["image_id"]}], [out])
+            inp = {"image_id": d["image_id"]}
+            if "sem_seg_file_name" in d:
+                from PIL import Image
+
+                with Image.open(d["sem_seg_file_name"]) as s:
+                    inp["sem_seg_gt"] = np.asarray(s).astype(np.int64)
+            gt_ann = pan_gt_by_image.get(d["image_id"])
+            if gt_ann is not None:
+                from u2seg_tpu.pseudo.assembly import read_panoptic_png
+
+                pan_root = meta.get("panoptic_root", "")
+                inp["pan_gt"] = read_panoptic_png(
+                    os.path.join(pan_root, gt_ann["file_name"])
+                )
+                inp["gt_segments"] = gt_ann["segments_info"]
+            out_rec = {
+                "instances": out["instances"],
+                "sem_seg": out.get("sem_seg"),
+            }
+            if "panoptic" in out:
+                out_rec["panoptic"] = out["panoptic"]
+                out_rec["segments"] = out["segments"]
+            evaluator.process([inp], [out_rec])
         results[dataset_name] = evaluator.evaluate()
     return results

@@ -152,12 +152,13 @@ class DefaultTrainer(TrainerBase):
         return resumed
 
     # -- loop ---------------------------------------------------------
-    def _next_batch(self) -> Batch:
+    def _next_batch_raw(self) -> dict:
         if self._pending:
-            b = self._pending.pop()
-        else:
-            b = next(self._loader)
-        return batch_from_numpy(b)
+            return self._pending.pop()
+        return next(self._loader)
+
+    def _next_batch(self) -> Batch:
+        return batch_from_numpy(self._next_batch_raw())
 
     def run_step(self):
         batch = self._next_batch()

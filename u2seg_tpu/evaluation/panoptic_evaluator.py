@@ -92,18 +92,18 @@ class COCOPanopticEvaluator(DatasetEvaluator):
     def process(self, inputs, outputs):
         """inputs: [{"pan_gt": (H,W) ids, "gt_segments": [...]}];
         outputs: [{"panoptic": (H,W) ids,
-                   "segments": [{"id","category_id","isthing"}...]}]."""
+                   "segments": [{"id","category_id","isthing"}...]}].
+
+        Raw predictions are buffered; cluster->category conversion happens at
+        evaluate() time so the single-pass 'auto' mode can consume mappings
+        written by the instance/semantic evaluators in the same run."""
         for inp, out in zip(inputs, outputs):
-            pan = np.asarray(out["panoptic"]).copy()
-            segments: List[dict] = []
-            for seg in out["segments"]:
-                if self.mode == "eval" or self.supervised:
-                    conv, pan = self._convert_segment(seg, pan)
-                    if conv is not None:
-                        segments.append(conv)
-                else:
-                    segments.append(dict(seg))
-            self._predictions.append((pan, segments))
+            if out.get("panoptic") is None or inp.get("pan_gt") is None:
+                continue
+            self._predictions.append(
+                (np.asarray(out["panoptic"]).copy(),
+                 [dict(s) for s in out["segments"]])
+            )
             self._ground_truths.append(
                 (np.asarray(inp["pan_gt"]), list(inp["gt_segments"]))
             )
@@ -112,7 +112,15 @@ class COCOPanopticEvaluator(DatasetEvaluator):
         if self.mode == "hungarian_matching" and not self.supervised:
             logger.info("panoptic evaluator idle during matching pass")
             return {}
-        res = pq_compute(self._ground_truths, self._predictions, self._categories)
+        converted = []
+        for pan, segments in self._predictions:
+            out_segs: List[dict] = []
+            for seg in segments:
+                conv, pan = self._convert_segment(seg, pan)
+                if conv is not None:
+                    out_segs.append(conv)
+            converted.append((pan, out_segs))
+        res = pq_compute(self._ground_truths, converted, self._categories)
         out = OrderedDict()
         out["panoptic_seg"] = {
             "PQ": 100 * res["All"]["pq"],

@@ -74,6 +74,8 @@ class SemSegEvaluator(DatasetEvaluator):
         For the unsupervised protocol, sem_seg_gt must already be the
         contiguous-stuff encoding (0 things / 1..53 stuff / 255 ignore)."""
         for inp, out in zip(inputs, outputs):
+            if out.get("sem_seg") is None or inp.get("sem_seg_gt") is None:
+                continue
             pred = np.asarray(out["sem_seg"], dtype=np.int64)
             gt = np.asarray(inp["sem_seg_gt"], dtype=np.int64)
             if self.mode == "supervised":

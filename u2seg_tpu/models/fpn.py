@@ -7,7 +7,7 @@ max-pool (RCNN variant) or p6/p7 convs (RetinaNet variant).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Any, Dict, List, Sequence
 
 import flax.linen as nn
 import jax
@@ -39,6 +39,7 @@ class FPN(nn.Module):
     """Builds p2..p6 from res2..res5 (strides 4..64)."""
 
     cfg: FPNConfig
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -55,6 +56,7 @@ class FPN(nn.Module):
             lateral = nn.Conv(
                 c.out_channels, (1, 1), use_bias=use_bias,
                 kernel_init=_xavier_init, name=f"lateral_{name}",
+                dtype=self.dtype,
             )(bottom_up[name])
             lateral = _apply_norm(
                 get_norm(c.norm, c.out_channels), lateral, train
@@ -67,7 +69,7 @@ class FPN(nn.Module):
             out = nn.Conv(
                 c.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
                 use_bias=use_bias, kernel_init=_xavier_init,
-                name=f"output_{name}",
+                name=f"output_{name}", dtype=self.dtype,
             )(lateral)
             out = _apply_norm(get_norm(c.norm, c.out_channels), out, train)
             results.insert(0, out)
@@ -99,11 +101,14 @@ class ResNetFPN(nn.Module):
 
     resnet_cfg: ResNetConfig
     fpn_cfg: FPNConfig
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
-        bottom_up = ResNet(self.resnet_cfg, name="bottom_up")(x, train=train)
-        return FPN(self.fpn_cfg, name="fpn")(bottom_up, train=train)
+        bottom_up = ResNet(self.resnet_cfg, dtype=self.dtype,
+                           name="bottom_up")(x, train=train)
+        return FPN(self.fpn_cfg, dtype=self.dtype, name="fpn")(
+            bottom_up, train=train)
 
 
 FPN_STRIDES = {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64, "p7": 128}

@@ -47,20 +47,24 @@ class PanopticFPN(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.backbone = ResNetFPN(c.resnet, c.fpn, name="backbone")
-        self.proposal_generator = RPN(c.rpn, c.anchors, name="proposal_generator")
+        dtype = jnp.dtype(c.compute_dtype)
+        self.backbone = ResNetFPN(c.resnet, c.fpn, dtype=dtype, name="backbone")
+        self.proposal_generator = RPN(c.rpn, c.anchors, dtype=dtype,
+                                      name="proposal_generator")
         heads_cls = (
             CascadeROIHeads if c.roi_heads.name == "CascadeROIHeads"
             else StandardROIHeads
         )
-        self.roi_heads = heads_cls(c.roi_heads, name="roi_heads")
-        self.sem_seg_head = SemSegFPNHead(c.sem_seg_head, name="sem_seg_head")
+        self.roi_heads = heads_cls(c.roi_heads, dtype=dtype, name="roi_heads")
+        self.sem_seg_head = SemSegFPNHead(c.sem_seg_head, dtype=dtype,
+                                          name="sem_seg_head")
 
     def normalize(self, images: jnp.ndarray) -> jnp.ndarray:
-        """(B, H, W, 3) raw RGB -> normalized (ref rcnn.py:223)."""
+        """(B, H, W, 3) raw RGB -> normalized, cast to the compute dtype
+        (ref rcnn.py:223; AMP == bf16 activations on TPU)."""
         mean = jnp.asarray(self.cfg.pixel_mean, images.dtype)
         std = jnp.asarray(self.cfg.pixel_std, images.dtype)
-        return (images - mean) / std
+        return ((images - mean) / std).astype(jnp.dtype(self.cfg.compute_dtype))
 
     def __call__(
         self,

@@ -40,12 +40,14 @@ class BasicStem(nn.Module):
 
     out_channels: int = 64
     norm: str = "SyncBN"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(
             self.out_channels, (7, 7), strides=2, padding=[(3, 3), (3, 3)],
             use_bias=False, kernel_init=_conv_init, name="conv1",
+            dtype=self.dtype,
         )(x)
         x = _apply_norm(_norm(self.norm, self.out_channels), x, train, name_scope=self)
         x = nn.relu(x)
@@ -70,6 +72,7 @@ class BottleneckBlock(nn.Module):
     stride_in_1x1: bool = False
     dilation: int = 1
     norm: str = "SyncBN"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -78,7 +81,7 @@ class BottleneckBlock(nn.Module):
 
         out = nn.Conv(
             self.bottleneck_channels, (1, 1), strides=s1, use_bias=False,
-            kernel_init=_conv_init, name="conv1",
+            kernel_init=_conv_init, name="conv1", dtype=self.dtype,
         )(x)
         out = _apply_norm(_norm(self.norm, self.bottleneck_channels), out, train)
         out = nn.relu(out)
@@ -88,20 +91,21 @@ class BottleneckBlock(nn.Module):
             self.bottleneck_channels, (3, 3), strides=s3,
             padding=[(pad, pad), (pad, pad)], kernel_dilation=self.dilation,
             use_bias=False, kernel_init=_conv_init, name="conv2",
+            dtype=self.dtype,
         )(out)
         out = _apply_norm(_norm(self.norm, self.bottleneck_channels), out, train)
         out = nn.relu(out)
 
         out = nn.Conv(
             self.out_channels, (1, 1), use_bias=False,
-            kernel_init=_conv_init, name="conv3",
+            kernel_init=_conv_init, name="conv3", dtype=self.dtype,
         )(out)
         out = _apply_norm(_norm(self.norm, self.out_channels), out, train)
 
         if in_channels != self.out_channels or self.stride != 1:
             shortcut = nn.Conv(
                 self.out_channels, (1, 1), strides=self.stride, use_bias=False,
-                kernel_init=_conv_init, name="shortcut",
+                kernel_init=_conv_init, name="shortcut", dtype=self.dtype,
             )(x)
             shortcut = _apply_norm(_norm(self.norm, self.out_channels), shortcut, train)
         else:
@@ -114,12 +118,14 @@ class ResNet(nn.Module):
     (ref resnet.py:362-612)."""
 
     cfg: ResNetConfig
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         c = self.cfg
         blocks_per_stage = STAGE_BLOCKS[c.depth]
-        stem = BasicStem(c.stem_out_channels, c.norm, name="stem")
+        stem = BasicStem(c.stem_out_channels, c.norm, dtype=self.dtype,
+                         name="stem")
         x = stem(x, train=train and c.freeze_at < 1)
         if c.freeze_at >= 1:
             x = jax.lax.stop_gradient(x)
@@ -138,6 +144,7 @@ class ResNet(nn.Module):
                     stride=stride if block_idx == 0 else 1,
                     stride_in_1x1=c.stride_in_1x1,
                     norm=c.norm,
+                    dtype=self.dtype,
                     name=f"{name}_{block_idx}",
                 )(x, train=stage_train)
             if c.freeze_at >= stage_idx + 2:

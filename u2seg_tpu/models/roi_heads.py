@@ -20,7 +20,7 @@ class-aware NMS at inference. GT masks travel as box-relative patches
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -68,6 +68,7 @@ class FastRCNNConvFCHead(nn.Module):
     num_fc: int = 2
     fc_dim: int = 1024
     norm: str = ""
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -78,7 +79,7 @@ class FastRCNNConvFCHead(nn.Module):
                 self.conv_dim, (3, 3), padding=[(1, 1), (1, 1)],
                 use_bias=self.norm == "",
                 kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
-                name=f"conv{i + 1}",
+                dtype=self.dtype, name=f"conv{i + 1}",
             )(x)
             norm_mod = get_norm(self.norm, self.conv_dim)
             if norm_mod is not None:
@@ -93,7 +94,7 @@ class FastRCNNConvFCHead(nn.Module):
                 kernel_init=nn.initializers.variance_scaling(
                     1.0, "fan_avg", "uniform"
                 ),
-                name=f"fc{i + 1}",
+                dtype=self.dtype, name=f"fc{i + 1}",
             )(x)
             x = nn.relu(x)
         return x
@@ -104,18 +105,19 @@ class FastRCNNOutputLayers(nn.Module):
 
     num_classes: int
     cls_agnostic_bbox_reg: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         scores = nn.Dense(
             self.num_classes + 1, kernel_init=nn.initializers.normal(0.01),
-            name="cls_score",
-        )(x)
+            dtype=self.dtype, name="cls_score",
+        )(x).astype(jnp.float32)
         num_bbox_out = 4 if self.cls_agnostic_bbox_reg else 4 * self.num_classes
         deltas = nn.Dense(
             num_bbox_out, kernel_init=nn.initializers.normal(0.001),
-            name="bbox_pred",
-        )(x)
+            dtype=self.dtype, name="bbox_pred",
+        )(x).astype(jnp.float32)
         return scores, deltas
 
 
@@ -126,6 +128,7 @@ class MaskRCNNConvUpsampleHead(nn.Module):
     num_conv: int = 4
     conv_dim: int = 256
     norm: str = ""
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -133,19 +136,20 @@ class MaskRCNNConvUpsampleHead(nn.Module):
         for i in range(self.num_conv):
             x = nn.Conv(
                 self.conv_dim, (3, 3), padding=[(1, 1), (1, 1)],
-                kernel_init=init, name=f"mask_fcn{i + 1}",
+                kernel_init=init, dtype=self.dtype, name=f"mask_fcn{i + 1}",
             )(x)
             x = nn.relu(x)
         x = nn.ConvTranspose(
             self.conv_dim, (2, 2), strides=(2, 2), kernel_init=init,
-            name="deconv",
+            dtype=self.dtype, name="deconv",
         )(x)
         x = nn.relu(x)
         x = nn.Conv(
             self.num_classes, (1, 1),
-            kernel_init=nn.initializers.normal(0.001), name="predictor",
+            kernel_init=nn.initializers.normal(0.001), dtype=self.dtype,
+            name="predictor",
         )(x)
-        return x  # (N, 2*R, 2*R, num_classes)
+        return x.astype(jnp.float32)  # (N, 2*R, 2*R, num_classes)
 
 
 # ---------------------------------------------------------------------------
@@ -315,22 +319,24 @@ class StandardROIHeads(nn.Module):
 
     cfg: ROIHeadsConfig
     mask_fg_capacity: int = 128
+    dtype: Any = jnp.float32
 
     def setup(self):
         c = self.cfg
         self.box_head = FastRCNNConvFCHead(
             num_conv=c.box_head.num_conv, conv_dim=c.box_head.conv_dim,
             num_fc=c.box_head.num_fc, fc_dim=c.box_head.fc_dim,
-            norm=c.box_head.norm, name="box_head",
+            norm=c.box_head.norm, dtype=self.dtype, name="box_head",
         )
         self.box_predictor = FastRCNNOutputLayers(
-            c.num_classes, c.cls_agnostic_bbox_reg, name="box_predictor"
+            c.num_classes, c.cls_agnostic_bbox_reg, dtype=self.dtype,
+            name="box_predictor",
         )
         if c.mask_on:
             self.mask_head = MaskRCNNConvUpsampleHead(
                 num_classes=1 if c.mask_head.cls_agnostic_mask else c.num_classes,
                 num_conv=c.mask_head.num_conv, conv_dim=c.mask_head.conv_dim,
-                norm=c.mask_head.norm, name="mask_head",
+                norm=c.mask_head.norm, dtype=self.dtype, name="mask_head",
             )
 
     def _strides(self):
@@ -517,13 +523,14 @@ class CascadeROIHeads(StandardROIHeads):
             FastRCNNConvFCHead(
                 num_conv=c.box_head.num_conv, conv_dim=c.box_head.conv_dim,
                 num_fc=c.box_head.num_fc, fc_dim=c.box_head.fc_dim,
-                norm=c.box_head.norm, name=f"box_head{i}",
+                norm=c.box_head.norm, dtype=self.dtype, name=f"box_head{i}",
             )
             for i in range(n)
         ]
         self.box_predictors = [
             FastRCNNOutputLayers(
-                c.num_classes, cls_agnostic_bbox_reg=True, name=f"box_predictor{i}"
+                c.num_classes, cls_agnostic_bbox_reg=True, dtype=self.dtype,
+                name=f"box_predictor{i}",
             )
             for i in range(n)
         ]
@@ -531,7 +538,7 @@ class CascadeROIHeads(StandardROIHeads):
             self.mask_head = MaskRCNNConvUpsampleHead(
                 num_classes=1 if c.mask_head.cls_agnostic_mask else c.num_classes,
                 num_conv=c.mask_head.num_conv, conv_dim=c.mask_head.conv_dim,
-                norm=c.mask_head.norm, name="mask_head",
+                norm=c.mask_head.norm, dtype=self.dtype, name="mask_head",
             )
 
     def _run_stage(self, features, boxes, stage: int, train: bool):

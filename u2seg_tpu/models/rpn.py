@@ -13,7 +13,7 @@ variable lengths.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -34,6 +34,7 @@ class RPNHead(nn.Module):
 
     num_anchors: int
     conv_dims: Tuple[int, ...] = (-1,)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray]):
@@ -45,10 +46,12 @@ class RPNHead(nn.Module):
             out_dim = features[0].shape[-1] if dim == -1 else dim
             convs.append(
                 nn.Conv(out_dim, (3, 3), padding=[(1, 1), (1, 1)],
-                        kernel_init=init, name=f"conv{i}")
+                        kernel_init=init, dtype=self.dtype, name=f"conv{i}")
             )
-        obj = nn.Conv(self.num_anchors, (1, 1), kernel_init=init, name="objectness_logits")
-        anc = nn.Conv(self.num_anchors * 4, (1, 1), kernel_init=init, name="anchor_deltas")
+        obj = nn.Conv(self.num_anchors, (1, 1), kernel_init=init,
+                      dtype=self.dtype, name="objectness_logits")
+        anc = nn.Conv(self.num_anchors * 4, (1, 1), kernel_init=init,
+                      dtype=self.dtype, name="anchor_deltas")
         for x in features:
             t = x
             for conv in convs:
@@ -71,6 +74,7 @@ class RPN(nn.Module):
 
     cfg: RPNConfig
     anchor_cfg: AnchorConfig
+    dtype: Any = jnp.float32
 
     def _anchors(self, feats: Dict[str, jnp.ndarray]) -> List[jnp.ndarray]:
         names = list(self.cfg.in_features)
@@ -92,14 +96,15 @@ class RPN(nn.Module):
         c = self.cfg
         feats = [features[f] for f in c.in_features]
         num_anchors = len(self.anchor_cfg.aspect_ratios)
-        head = RPNHead(num_anchors, name="head")
+        head = RPNHead(num_anchors, dtype=self.dtype, name="head")
         logits_hwc, deltas_hwc = head(feats)
 
         b = feats[0].shape[0]
         # flatten per level: (B, H*W*A) / (B, H*W*A, 4); NHWC + inner-A order
-        # matches anchor enumeration in anchors.grid_anchors.
-        logits = [l.reshape(b, -1) for l in logits_hwc]
-        deltas = [d.reshape(b, -1, 4) for d in deltas_hwc]
+        # matches anchor enumeration in anchors.grid_anchors. Losses and box
+        # decoding run in f32 regardless of the compute dtype.
+        logits = [l.reshape(b, -1).astype(jnp.float32) for l in logits_hwc]
+        deltas = [d.reshape(b, -1, 4).astype(jnp.float32) for d in deltas_hwc]
         anchors = self._anchors(features)            # list of (N_l, 4)
 
         losses: Dict[str, jnp.ndarray] = {}

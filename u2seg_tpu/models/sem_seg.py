@@ -9,7 +9,7 @@ ignore label 255 and loss weight 0.5.
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -26,6 +26,7 @@ def _resize_bilinear(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 
 class SemSegFPNHead(nn.Module):
     cfg: SemSegHeadConfig
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -45,7 +46,7 @@ class SemSegFPNHead(nn.Module):
                 x = nn.Conv(
                     c.conv_dim, (3, 3), padding=[(1, 1), (1, 1)],
                     use_bias=c.norm == "", kernel_init=init,
-                    name=f"{name}_conv{k}",
+                    dtype=self.dtype, name=f"{name}_conv{k}",
                 )(x)
                 if c.norm == "GN":
                     x = nn.GroupNorm(num_groups=32, name=f"{name}_gn{k}")(x)
@@ -56,8 +57,8 @@ class SemSegFPNHead(nn.Module):
             summed = x if summed is None else summed + x
         logits = nn.Conv(
             c.num_classes, (1, 1), kernel_init=nn.initializers.normal(0.01),
-            name="predictor",
-        )(summed)  # (B, H/4, W/4, C)
+            dtype=self.dtype, name="predictor",
+        )(summed).astype(jnp.float32)  # (B, H/4, W/4, C)
 
         full = _resize_bilinear(
             logits, logits.shape[1] * c.common_stride,

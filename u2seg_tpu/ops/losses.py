@@ -97,7 +97,10 @@ def sigmoid_focal_loss(
 
 
 def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
-    """Numerically stable binary cross-entropy on logits, per-element."""
+    """Numerically stable binary cross-entropy on logits, per-element.
+    Computed in float32 regardless of input dtype (AMP safety)."""
+    logits = logits.astype(jnp.float32)
+    targets = targets.astype(jnp.float32)
     return jnp.maximum(logits, 0.0) - logits * targets + jnp.log1p(
         jnp.exp(-jnp.abs(logits))
     )
@@ -107,7 +110,9 @@ def softmax_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """Per-element softmax cross-entropy with integer labels.
 
     Out-of-range labels (e.g. padding) are clamped; callers mask the result.
+    Computed in float32 regardless of input dtype (AMP safety).
     """
+    logits = logits.astype(jnp.float32)
     num = logits.shape[-1]
     safe = jnp.clip(labels, 0, num - 1)
     logz = jax.nn.logsumexp(logits, axis=-1)

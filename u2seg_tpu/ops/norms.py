@@ -55,17 +55,24 @@ def get_norm(norm: Optional[str], features: int, *, axis_name: str = "data") -> 
     """
     if not norm:
         return None
+    # norms always compute in float32 (AMP safety: bf16 E[x^2]-E[x]^2
+    # variance is catastrophically imprecise); callers' next conv casts back
     if norm == "BN":
-        return nn.BatchNorm(momentum=0.9, epsilon=1e-5, use_running_average=None)
+        return nn.BatchNorm(momentum=0.9, epsilon=1e-5,
+                            use_running_average=None, dtype=jnp.float32)
     if norm in ("SyncBN", "naiveSyncBN"):
         return nn.BatchNorm(
             momentum=0.9, epsilon=1e-5, axis_name=axis_name,
-            use_running_average=None,
+            use_running_average=None, dtype=jnp.float32,
         )
     if norm == "FrozenBN":
         return FrozenBatchNorm(features)
     if norm == "GN":
-        return nn.GroupNorm(num_groups=32, epsilon=1e-5)
+        import math
+
+        groups = 32 if features % 32 == 0 else math.gcd(32, features)
+        return nn.GroupNorm(num_groups=max(groups, 1), epsilon=1e-5,
+                            dtype=jnp.float32)
     if norm == "LN":
-        return nn.LayerNorm(epsilon=1e-6)
+        return nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)
     raise ValueError(f"Unknown norm: {norm}")
