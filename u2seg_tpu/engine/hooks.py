@@ -186,3 +186,62 @@ def flatten_results_dict(results: dict, prefix: str = "") -> dict:
             except (TypeError, ValueError):
                 pass
     return out
+
+
+class ProfilerHook(HookBase):
+    """jax.profiler trace window over selected iterations.
+
+    Counterpart of ref ``TorchProfiler`` (engine/hooks.py:377): captures a
+    device trace (viewable in TensorBoard / Perfetto) for iterations where
+    ``enable_predicate(iter)`` is true."""
+
+    def __init__(self, enable_predicate, output_dir: str):
+        self._pred = enable_predicate
+        self._dir = output_dir
+        self._active = False
+
+    def before_step(self):
+        import jax
+
+        if self._pred(self.trainer.iter) and not self._active:
+            jax.profiler.start_trace(self._dir)
+            self._active = True
+
+    def after_step(self):
+        import jax
+
+        if self._active and not self._pred(self.trainer.iter + 1):
+            jax.profiler.stop_trace()
+            self._active = False
+            logger.info("wrote profiler trace to %s", self._dir)
+
+    def after_train(self):
+        import jax
+
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+
+
+class MemoryStatsHook(HookBase):
+    """Log device memory stats periodically (ref TorchMemoryStats :639)."""
+
+    def __init__(self, period: int = 20):
+        self._period = period
+
+    def after_step(self):
+        if (self.trainer.iter + 1) % self._period:
+            return
+        import jax
+
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+        except Exception:
+            return
+        if stats:
+            in_use = stats.get("bytes_in_use", 0) / 2 ** 20
+            peak = stats.get("peak_bytes_in_use", 0) / 2 ** 20
+            self.trainer.storage.put_scalar("mem_mb", in_use,
+                                            smoothing_hint=False)
+            self.trainer.storage.put_scalar("peak_mem_mb", peak,
+                                            smoothing_hint=False)

@@ -172,3 +172,35 @@ def clip_rotated(boxes: jnp.ndarray, image_hw, clip_angle_threshold: float = 1.0
     )
     near_axis = jnp.abs(((a + 180) % 360) - 180)[..., None] <= clip_angle_threshold
     return jnp.where(near_axis, clipped, boxes)
+
+
+# ---------------------------------------------------------------------------
+# Box2BoxTransformRotated (ref modeling/box_regression.py:133-230)
+# ---------------------------------------------------------------------------
+
+def get_deltas_rotated(src: jnp.ndarray, target: jnp.ndarray,
+                       weights=(1.0, 1.0, 1.0, 1.0, 1.0)) -> jnp.ndarray:
+    """(dx, dy, dw, dh, da) encoding between (cx, cy, w, h, angle) boxes;
+    da in [-180, 180) degrees normalized like the reference."""
+    wx, wy, ww, wh, wa = weights
+    dx = wx * (target[..., 0] - src[..., 0]) / jnp.maximum(src[..., 2], 1e-6)
+    dy = wy * (target[..., 1] - src[..., 1]) / jnp.maximum(src[..., 3], 1e-6)
+    dw = ww * jnp.log(target[..., 2] / jnp.maximum(src[..., 2], 1e-6))
+    dh = wh * jnp.log(target[..., 3] / jnp.maximum(src[..., 3], 1e-6))
+    da = target[..., 4] - src[..., 4]
+    da = (da + 180.0) % 360.0 - 180.0
+    da = wa * da * math.pi / 180.0
+    return jnp.stack([dx, dy, dw, dh, da], axis=-1)
+
+
+def apply_deltas_rotated(deltas: jnp.ndarray, boxes: jnp.ndarray,
+                         weights=(1.0, 1.0, 1.0, 1.0, 1.0),
+                         scale_clamp: float = math.log(1000.0 / 16)) -> jnp.ndarray:
+    wx, wy, ww, wh, wa = weights
+    cx = boxes[..., 0] + deltas[..., 0] / wx * boxes[..., 2]
+    cy = boxes[..., 1] + deltas[..., 1] / wy * boxes[..., 3]
+    w = boxes[..., 2] * jnp.exp(jnp.minimum(deltas[..., 2] / ww, scale_clamp))
+    h = boxes[..., 3] * jnp.exp(jnp.minimum(deltas[..., 3] / wh, scale_clamp))
+    a = boxes[..., 4] + deltas[..., 4] / wa * 180.0 / math.pi
+    a = (a + 180.0) % 360.0 - 180.0
+    return jnp.stack([cx, cy, w, h, a], axis=-1)
