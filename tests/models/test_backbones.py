@@ -51,3 +51,38 @@ def test_swin_shifted_windows_differ_from_unshifted(rng):
     v = m1.init({"params": jax.random.PRNGKey(0)}, x)
     out = m1.apply(v, x)["res2"]
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_regnet_backbone(rng):
+    from u2seg_tpu.models.regnet import RegNet, generate_regnet_params
+
+    ws, ds = generate_regnet_params(38.65, 96, 2.43, 23)
+    assert len(ws) == len(ds) and sum(ds) == 23
+    from u2seg_tpu.models.regnet import generate_regnet_params as gen
+
+    m = RegNet(w_a=24.0, w_0=24, w_m=2.5, depth=8, group_width=8,
+               stem_width=16, norm="BN")
+    n_stages = len(gen(24.0, 24, 2.5, 8)[0])
+    x = jnp.array(rng.rand(1, 64, 64, 3).astype(np.float32))
+    v = m.init({"params": jax.random.PRNGKey(0)}, x)
+    out, _ = m.apply(v, x, train=True, mutable=["batch_stats"])
+    assert set(out) == {f"res{i + 2}" for i in range(n_stages)}
+    # each stage halves resolution starting from stride-2 stem
+    assert out["res2"].shape[1] == 64 // 4
+    assert out[f"res{n_stages + 1}"].shape[1] == 64 // (2 ** (n_stages + 1))
+    for k, f in out.items():
+        assert np.isfinite(np.asarray(f)).all(), k
+
+
+def test_mvit_backbone(rng):
+    from u2seg_tpu.models.mvit import MViT
+
+    m = MViT(embed_dim=32, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8))
+    x = jnp.array(rng.rand(1, 64, 64, 3).astype(np.float32))
+    v = m.init({"params": jax.random.PRNGKey(0)}, x)
+    out = m.apply(v, x)
+    assert out["res2"].shape == (1, 16, 16, 32)
+    assert out["res3"].shape[1] == 8
+    assert out["res5"].shape[1] == 2
+    for k, f in out.items():
+        assert np.isfinite(np.asarray(f)).all(), k

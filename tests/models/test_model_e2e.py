@@ -103,7 +103,7 @@ def test_inference_forward(rng):
     det = out.detections
     assert det.boxes.shape == (2, 10, 4)
     assert det.mask_logits.shape[:2] == (2, 10)
-    assert out.sem_seg_logits.shape == (2, 128, 128, 5)
+    assert out.sem_seg_logits.shape == (2, 32, 32, 5)  # stride-4 logits
     assert out.panoptic.shape == (2, 32, 32)
     assert np.isfinite(np.asarray(det.scores)).all()
 
@@ -117,7 +117,8 @@ def test_fusion_semantics():
     valid = jnp.array([[True, True, False]])
     mask_logits = jnp.full((1, k, 28, 28), 10.0)  # all-on masks
     det = Detections(boxes, scores, classes, valid, mask_logits)
-    sem = jnp.zeros((1, h * 4, w * 4, stuff)).at[..., 3].set(5.0)  # label 3 wins
+    # fusion consumes stride-4 logits: (1, h, w, stuff) for a (4h, 4w) image
+    sem = jnp.zeros((1, h, w, stuff)).at[..., 3].set(5.0)  # label 3 wins
     sizes = jnp.array([[h * 4, w * 4]], dtype=jnp.int32)
     pan, cat, isth, score, seg_valid, inst = combine_semantic_and_instance(
         det, sem, sizes, instance_conf_thresh=0.5, overlap_thresh=0.5,

@@ -168,7 +168,9 @@ class DefaultPredictor:
             (h, w), (oh, ow),
         )
         result = {"instances": records}
-        sem = np.asarray(out.sem_seg_logits[0, :h, :w]).argmax(-1)
+        # sem-seg logits are at stride 4; argmax then upsample labels
+        s4h, s4w = max(h // 4, 1), max(w // 4, 1)
+        sem = np.asarray(out.sem_seg_logits[0, :s4h, :s4w]).argmax(-1)
         import cv2
 
         result["sem_seg"] = cv2.resize(

@@ -142,15 +142,12 @@ def combine_semantic_and_instance(
     the seg arrays describes segment id i+1.
     """
     b, k = det.valid.shape
-    full_h, full_w = sem_logits.shape[1], sem_logits.shape[2]
-    h, w = full_h // stride, full_w // stride
+    # sem_logits arrive at the fusion stride already (B, H/stride, W/stride, C)
+    h, w = sem_logits.shape[1], sem_logits.shape[2]
     num_stuff = sem_logits.shape[-1]
     area_scale = stride * stride
 
-    sem_small = jax.image.resize(
-        sem_logits, (b, h, w, num_stuff), method="bilinear"
-    )
-    sem_label = jnp.argmax(sem_small, axis=-1).astype(jnp.int32)  # (B,h,w)
+    sem_label = jnp.argmax(sem_logits, axis=-1).astype(jnp.int32)  # (B,h,w)
 
     def per_image(boxes, scores, valid, mask_logits, ordr, sem_lab, hw):
         yy = jnp.arange(h)[:, None]

@@ -60,11 +60,15 @@ class SemSegFPNHead(nn.Module):
             dtype=self.dtype, name="predictor",
         )(summed).astype(jnp.float32)  # (B, H/4, W/4, C)
 
-        full = _resize_bilinear(
-            logits, logits.shape[1] * c.common_stride,
-            logits.shape[2] * c.common_stride,
-        )
         if train and targets is not None:
+            # loss at full input resolution (4x bilinear + CE, ref :255-266)
+            full = _resize_bilinear(
+                logits, logits.shape[1] * c.common_stride,
+                logits.shape[2] * c.common_stride,
+            )
             loss = L.softmax_ce_ignore(full, targets, c.ignore_value)
-            return full, {"loss_sem_seg": loss * c.loss_weight}
-        return full, {}
+            return logits, {"loss_sem_seg": loss * c.loss_weight}
+        # inference: stay at the common stride — panoptic fusion runs at
+        # stride 4 anyway and the predictor upsamples only the final labels,
+        # saving the 100MB+ full-resolution logit round-trip per batch
+        return logits, {}

@@ -17,6 +17,8 @@ Layout: features are NHWC (TPU-native).
 from __future__ import annotations
 
 import math
+
+import numpy as np
 from typing import List, Sequence, Tuple
 
 import jax
@@ -165,33 +167,94 @@ def multilevel_roi_align(
 ) -> jnp.ndarray:
     """ROIPooler: route each ROI to its FPN level and ROIAlign there.
 
-    TPU formulation: instead of partitioning ROIs per level (dynamic), we run
-    ROIAlign on every level for every ROI and select by level mask — levels
-    are few (4) and the pooled outputs are small, and this keeps everything
-    static. (ref poolers.py:114-263 partitions; we select.)
+    TPU formulation: every level's feature map is flattened into ONE
+    (B * sum_l H_l*W_l, C) buffer; each ROI computes its bilinear corner
+    indices inside its assigned level (per-ROI h/w/stride picked from small
+    constant tables) offset by the level's start — so the whole pooler is a
+    single gather, with no per-level partitioning (ref poolers.py:114-263)
+    and no wasted pooling of unrouted levels.
 
     Args:
       features: list of (B, H_l, W_l, C) maps, ordered fine→coarse.
       strides: feature stride per level (e.g. [4, 8, 16, 32]).
     Returns:
-      (R, S, S, C).
+      (R, S, S, C) float32.
     """
+    if sampling_ratio <= 0:
+        sampling_ratio = 2
+    s, r = output_size, sampling_ratio
     min_level = int(math.log2(strides[0]))
     max_level = int(math.log2(strides[-1]))
     levels = assign_boxes_to_levels(
         boxes, min_level, max_level, canonical_box_size, canonical_level
     )
-    out = None
-    for i, (feat, stride) in enumerate(zip(features, strides)):
-        pooled = roi_align(
-            feat,
-            boxes,
-            batch_idx,
-            output_size,
-            spatial_scale=1.0 / stride,
-            sampling_ratio=sampling_ratio,
-            aligned=True,
+    lvl = levels - min_level                                 # (R,) 0-based
+
+    b = features[0].shape[0]
+    c = features[0].shape[-1]
+    n_roi = boxes.shape[0]
+    hs = np.array([f.shape[1] for f in features], np.int32)
+    ws = np.array([f.shape[2] for f in features], np.int32)
+    sizes = hs * ws
+    offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int32)
+    total = int(offsets[-1])
+
+    flat = jnp.concatenate(
+        [f.reshape(b, -1, c) for f in features], axis=1
+    ).reshape(b * total, c)
+
+    h_r = jnp.asarray(hs)[lvl].astype(jnp.float32)           # (R,)
+    w_r = jnp.asarray(ws)[lvl].astype(jnp.float32)
+    off_r = jnp.asarray(offsets[:-1])[lvl]                   # (R,)
+    stride_r = jnp.asarray(np.asarray(strides, np.float32))[lvl]
+    w_int = jnp.asarray(ws)[lvl]                             # (R,) int32
+
+    fb = boxes.astype(jnp.float32) / stride_r[:, None]
+    x0 = fb[:, 0] - 0.5
+    y0 = fb[:, 1] - 0.5
+    bin_w = (fb[:, 2] - fb[:, 0]) / s
+    bin_h = (fb[:, 3] - fb[:, 1]) / s
+
+    xs = _sample_coords_1d(x0, bin_w, s, r)                  # (R, s*r)
+    ys = _sample_coords_1d(y0, bin_h, s, r)
+
+    def axis_interp(coords, size):
+        inside = (coords >= -1.0) & (coords <= size[:, None])
+        cc = jnp.clip(coords, 0.0, size[:, None] - 1)
+        lo = jnp.floor(cc)
+        frac = cc - lo
+        lo_i = lo.astype(jnp.int32)
+        hi_i = jnp.minimum(lo_i + 1, size[:, None].astype(jnp.int32) - 1)
+        w_lo = jnp.where(inside, 1.0 - frac, 0.0)
+        w_hi = jnp.where(inside, frac, 0.0)
+        return lo_i, hi_i, w_lo, w_hi
+
+    yx0, yx1, wy0, wy1 = axis_interp(ys, h_r)
+    xx0, xx1, wx0, wx1 = axis_interp(xs, w_r)
+
+    base = batch_idx.astype(jnp.int32) * total + off_r       # (R,)
+
+    def gather_hw(yi, xi):
+        lin = base[:, None, None] + yi[:, :, None] * w_int[:, None, None] \
+            + xi[:, None, :]
+        return jnp.take(flat, lin.reshape(-1), axis=0).reshape(
+            n_roi, s * r, s * r, c
         )
-        sel = (levels == (min_level + i))[:, None, None, None]
-        out = pooled * sel if out is None else out + pooled * sel
-    return out
+
+    v00 = gather_hw(yx0, xx0)
+    v01 = gather_hw(yx0, xx1)
+    v10 = gather_hw(yx1, xx0)
+    v11 = gather_hw(yx1, xx1)
+
+    wy0e = wy0[:, :, None, None]
+    wy1e = wy1[:, :, None, None]
+    wx0e = wx0[:, None, :, None]
+    wx1e = wx1[:, None, :, None]
+    samples = (
+        v00 * (wy0e * wx0e)
+        + v01 * (wy0e * wx1e)
+        + v10 * (wy1e * wx0e)
+        + v11 * (wy1e * wx1e)
+    )
+    samples = samples.reshape(n_roi, s, r, s, r, c)
+    return jnp.mean(samples, axis=(2, 4))
