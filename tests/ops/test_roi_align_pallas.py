@@ -43,3 +43,28 @@ def test_pallas_degenerate_rois(rng):
     boxes = jnp.zeros((2, 4), jnp.float32)
     out = rap.roi_align_pallas(feat, boxes, jnp.zeros(2, jnp.int32), 7, 0.25, 2)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pallas_multilevel_matches_reference(rng):
+    from u2seg_tpu.ops.roi_align import multilevel_roi_align
+    from u2seg_tpu.ops.roi_align_pallas import multilevel_roi_align_pallas
+
+    feats = [
+        jnp.array(rng.randn(2, 64, 96, 8).astype(np.float32)),
+        jnp.array(rng.randn(2, 32, 48, 8).astype(np.float32)),
+        jnp.array(rng.randn(2, 16, 24, 8).astype(np.float32)),
+        jnp.array(rng.randn(2, 8, 12, 8).astype(np.float32)),
+    ]
+    strides = (4, 8, 16, 32)
+    # boxes spanning multiple levels
+    boxes = jnp.array([
+        [10.0, 10.0, 80.0, 60.0],      # small -> level 2
+        [0.0, 0.0, 200.0, 180.0],      # medium
+        [5.0, 5.0, 350.0, 300.0],      # large -> coarse level
+        [40.0, 30.0, 140.0, 120.0],
+    ], jnp.float32)
+    bidx = jnp.array([0, 1, 0, 1], jnp.int32)
+    ref = multilevel_roi_align(feats, boxes, bidx, 7, strides, 2)
+    got = multilevel_roi_align_pallas(feats, boxes, bidx, 7, strides, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

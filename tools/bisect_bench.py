@@ -62,11 +62,12 @@ def main():
               f"({args.batch / dt:7.1f} img/s)", flush=True)
         return out
 
-    # stage fns -----------------------------------------------------
+    # stage fns — outputs reduced ON DEVICE so sync() transfers one scalar
+    # (fetching a full feature map through the tunnel would dominate timing)
     @jax.jit
     def backbone_only(v, im):
         x = model.apply(v, im, method=lambda m, i: m.backbone(m.normalize(i)))
-        return x["p2"]
+        return jnp.float32(sum(jnp.sum(t.astype(jnp.float32)) for t in x.values()))
 
     @jax.jit
     def bb_semseg(v, im):
@@ -74,7 +75,7 @@ def main():
             feats = m.backbone(m.normalize(i))
             logits, _ = m.sem_seg_head(feats)
             return logits
-        return model.apply(v, im, method=f)
+        return jnp.sum(model.apply(v, im, method=f))
 
     @jax.jit
     def bb_rpn(v, im, sz):
@@ -82,17 +83,17 @@ def main():
             feats = m.backbone(m.normalize(i))
             out = m.proposal_generator(feats, s)
             return out.proposal_boxes
-        return model.apply(v, im, sz, method=f)
+        return jnp.sum(model.apply(v, im, sz, method=f))
 
     @jax.jit
     def full_no_fusion(v, im, sz):
         out = model.apply(v, im, sz, train=False, combine=False)
-        return out.detections.boxes
+        return jnp.sum(out.detections.boxes)
 
     @jax.jit
     def full_fusion(v, im, sz):
         out = model.apply(v, im, sz, train=False, combine=True)
-        return out.panoptic
+        return jnp.sum(out.panoptic)
 
     timed("backbone", backbone_only, variables, images)
     timed("backbone+semseg", bb_semseg, variables, images)

@@ -96,6 +96,9 @@ class ROIMaskHeadConfig:
 @dataclass
 class ROIHeadsConfig:
     name: str = "CascadeROIHeads"             # u2seg uses cascade
+    # ROI pooling backend: "gather" (XLA), "pallas" (window-DMA kernel),
+    # "auto" (pallas on TPU, gather elsewhere)
+    pooler_impl: str = "auto"
     num_classes: int = 800                    # CLUSTER_NUM as real config
     in_features: Tuple[str, ...] = ("p2", "p3", "p4", "p5")
     iou_thresholds: Tuple[float, ...] = (0.5,)

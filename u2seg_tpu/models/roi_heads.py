@@ -348,6 +348,18 @@ class StandardROIHeads(nn.Module):
         flat = boxes.reshape(-1, 4)
         bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
         feats = [features[f] for f in self.cfg.in_features]
+        impl = self.cfg.pooler_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "gather"
+        if impl == "pallas":
+            from u2seg_tpu.ops.roi_align_pallas import (
+                multilevel_roi_align_pallas,
+            )
+
+            return multilevel_roi_align_pallas(
+                feats, flat, bidx, resolution, tuple(self._strides()),
+                sampling_ratio=sampling_ratio,
+            )
         return multilevel_roi_align(
             feats, flat, bidx, resolution, self._strides(),
             sampling_ratio=sampling_ratio,

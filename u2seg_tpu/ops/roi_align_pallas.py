@@ -53,7 +53,7 @@ def _roi_align_kernel(
 ):
     roi = pl.program_id(0)
     oy = origin_ref[roi, 0]
-    ox = origin_ref[roi, 1]
+    ox = pl.multiple_of(origin_ref[roi, 1], 8)
     b = batch_ref[roi]
 
     # DMA the window for this ROI
@@ -71,8 +71,9 @@ def _roi_align_kernel(
     bin_w = meta_ref[roi, 3]
 
     n = s * r
-    offs = (jax.lax.broadcasted_iota(jnp.float32, (n, 1), 0) // r)
-    sub = (jax.lax.broadcasted_iota(jnp.float32, (n, 1), 0) % r + 0.5) / r
+    idx_i = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    offs = (idx_i // r).astype(jnp.float32)
+    sub = ((idx_i % r).astype(jnp.float32) + 0.5) / r
     rel = offs + sub                                   # (n, 1)
     ys = y0 + rel[:, 0] * bin_h                        # (n,) feature coords
     xs = x0 + rel[:, 0] * bin_w
@@ -84,7 +85,9 @@ def _roi_align_kernel(
         inside = (coords >= -1.0) & (coords <= size)
         cc = jnp.clip(coords, 0.0, size - 1.0)
         local = cc - origin.astype(jnp.float32)        # (n,)
-        cells = jax.lax.broadcasted_iota(jnp.float32, (n, WIN), 1)
+        cells = jax.lax.broadcasted_iota(jnp.int32, (n, WIN), 1).astype(
+            jnp.float32
+        )
         wgt = jnp.maximum(0.0, 1.0 - jnp.abs(local[:, None] - cells))
         return wgt * inside[:, None]
 
@@ -144,7 +147,8 @@ def roi_align_pallas(
     first_y = jnp.floor(y0 + bin_h * (0.5 / r)) - 1
     first_x = jnp.floor(x0 + bin_w * (0.5 / r)) - 1
     oy = jnp.clip(first_y, 0, max(h - WIN, 0)).astype(jnp.int32)
-    ox = jnp.clip(first_x, 0, max(w - WIN, 0)).astype(jnp.int32)
+    # x-origin aligned down to the 8-sublane HBM tiling (DMA constraint)
+    ox = jnp.clip(first_x, 0, max(w - WIN, 0)).astype(jnp.int32) // 8 * 8
     origin = jnp.stack([oy, ox], axis=1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -168,6 +172,202 @@ def roi_align_pallas(
         out_shape=jax.ShapeDtypeStruct((n_roi, n, n, c), jnp.float32),
         grid_spec=grid_spec,
     )(origin, batch_idx.astype(jnp.int32), meta, features)
+
+    samples = samples.reshape(n_roi, s, r, s, r, c)
+    return jnp.mean(samples, axis=(2, 4))
+
+
+# ---------------------------------------------------------------------------
+# Multilevel (FPN) variant: per-ROI level routing with predicated DMA
+# ---------------------------------------------------------------------------
+
+def _ml_kernel(
+    oy_ref,            # (R,) int32 window y origin in the ROI's level
+    ox_ref,            # (R,) int32 aligned x origin
+    batch_ref,         # (R,) int32
+    lvl_ref,           # (R,) int32 level index 0..L-1
+    y0_ref,            # (R,) f32 roi start y (level coords)
+    x0_ref,            # (R,) f32
+    binh_ref,          # (R,) f32 bin sizes
+    binw_ref,          # (R,) f32
+    *refs,             # L feature refs (B, H_l, W_l, C) in ANY, then out + scratch
+    s: int,
+    r: int,
+    num_levels: int,
+    level_dims: tuple,  # static ((H_l, W_l), ...) true (pre-pad) dims
+):
+    out_ref = refs[num_levels]
+    win_ref = refs[num_levels + 1]
+    sem = refs[num_levels + 2]
+
+    roi = pl.program_id(0)
+    oy = oy_ref[roi]
+    # x-origin is host-aligned to the 8-sublane HBM tiling (DMA constraint)
+    ox = pl.multiple_of(ox_ref[roi], 8)
+    b = batch_ref[roi]
+    lvl = lvl_ref[roi]
+
+    for k in range(num_levels):
+        @pl.when(lvl == k)
+        def _(k=k):
+            copy = pltpu.make_async_copy(
+                refs[k].at[b, pl.ds(oy, WIN), pl.ds(ox, WIN), :],
+                win_ref,
+                sem,
+            )
+            copy.start()
+            copy.wait()
+
+    y0 = y0_ref[roi]
+    x0 = x0_ref[roi]
+    bin_h = binh_ref[roi]
+    bin_w = binw_ref[roi]
+    # level dims are static per level; select by traced lvl
+    h = jnp.float32(level_dims[0][0])
+    w = jnp.float32(level_dims[0][1])
+    for k in range(1, num_levels):
+        h = jnp.where(lvl == k, jnp.float32(level_dims[k][0]), h)
+        w = jnp.where(lvl == k, jnp.float32(level_dims[k][1]), w)
+
+    n = s * r
+    idx_i = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    offs = (idx_i // r).astype(jnp.float32)
+    sub = ((idx_i % r).astype(jnp.float32) + 0.5) / r
+    rel = (offs + sub)[:, 0]
+    ys = y0 + rel * bin_h
+    xs = x0 + rel * bin_w
+
+    def axis_weights(coords, size, origin):
+        inside = (coords >= -1.0) & (coords <= size)
+        cc = jnp.clip(coords, 0.0, size - 1.0)
+        local = cc - origin.astype(jnp.float32)
+        cells = jax.lax.broadcasted_iota(jnp.int32, (n, WIN), 1).astype(
+            jnp.float32
+        )
+        wgt = jnp.maximum(0.0, 1.0 - jnp.abs(local[:, None] - cells))
+        return wgt * inside[:, None]
+
+    wy = axis_weights(ys, h, oy)
+    wx = axis_weights(xs, w, ox)
+
+    window = win_ref[:].astype(jnp.float32)
+    c = window.shape[-1]
+    tmp = jax.lax.dot_general(
+        wy, window.reshape(WIN, WIN * c),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(n, WIN, c)
+    out = jax.lax.dot_general(
+        wx, tmp,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).transpose(1, 0, 2)
+    out_ref[0] = out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("output_size", "strides", "sampling_ratio",
+                     "canonical_box_size", "canonical_level"),
+)
+def multilevel_roi_align_pallas(
+    features,                  # list of (B, H_l, W_l, C), fine -> coarse
+    boxes: jnp.ndarray,        # (R, 4) XYXY image coords
+    batch_idx: jnp.ndarray,
+    output_size: int,
+    strides: Tuple[int, ...],
+    sampling_ratio: int = 2,
+    canonical_box_size: float = 224.0,
+    canonical_level: int = 4,
+) -> jnp.ndarray:
+    """FPN ROIPooler as one Pallas kernel: scalar-prefetched level routing,
+    one WINxWIN window DMA from the assigned level, separable-matmul
+    interpolation. Levels smaller than WIN are zero-padded up front (the
+    axis weights vanish outside the true level size, so padding is exact).
+    """
+    import math as _math
+
+    from u2seg_tpu.ops.roi_align import assign_boxes_to_levels
+
+    if sampling_ratio <= 0:
+        sampling_ratio = 2
+    s, r = output_size, sampling_ratio
+    n = s * r
+    num_levels = len(features)
+    b, _, _, c = features[0].shape
+    n_roi = boxes.shape[0]
+
+    min_level = int(_math.log2(strides[0]))
+    levels = assign_boxes_to_levels(
+        boxes, min_level, min_level + num_levels - 1,
+        canonical_box_size, canonical_level,
+    )
+    lvl = (levels - min_level).astype(jnp.int32)
+    # window-fit routing: elongated boxes whose long side exceeds the DMA
+    # window at their canonical level are bumped to a coarser level (a
+    # deliberate deviation from the reference's sqrt-area-only routing;
+    # affects only aspect ratios beyond ~3)
+    max_side = jnp.maximum(
+        boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1]
+    )
+    stride0 = jnp.asarray(np.asarray(strides, np.float32))[lvl]
+    need = jnp.ceil(
+        jnp.log2(jnp.maximum(max_side / stride0 / (WIN - 8), 1e-6))
+    ).astype(jnp.int32)
+    lvl = jnp.clip(lvl + jnp.maximum(need, 0), 0, num_levels - 1)
+
+    dims = np.array(
+        [[f.shape[1], f.shape[2]] for f in features], np.int32
+    )
+    padded = []
+    for f in features:
+        ph = max(WIN - f.shape[1], 0)
+        # pad W so the aligned window always fits (multiple of 8, >= WIN+8)
+        target_w = max(((f.shape[2] + 7) // 8) * 8, WIN + 8)
+        pw = target_w - f.shape[2]
+        if ph or pw:
+            f = jnp.pad(f, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        padded.append(f)
+
+    stride_r = jnp.asarray(np.asarray(strides, np.float32))[lvl]
+    fb = boxes.astype(jnp.float32) / stride_r[:, None]
+    y0 = fb[:, 1] - 0.5
+    x0 = fb[:, 0] - 0.5
+    bin_h = (fb[:, 3] - fb[:, 1]) / s
+    bin_w = (fb[:, 2] - fb[:, 0]) / s
+
+    pad_h = jnp.asarray([f.shape[1] for f in padded], jnp.int32)[lvl]
+    pad_w = jnp.asarray([f.shape[2] for f in padded], jnp.int32)[lvl]
+    first_y = jnp.floor(y0 + bin_h * (0.5 / r)) - 1
+    first_x = jnp.floor(x0 + bin_w * (0.5 / r)) - 1
+    oy = jnp.clip(first_y, 0, (pad_h - WIN).astype(jnp.float32)).astype(jnp.int32)
+    # align x-origin down to 8 (HBM tile); padding above keeps it in range
+    ox = jnp.clip(first_x, 0, (pad_w - WIN).astype(jnp.float32)).astype(jnp.int32)
+    ox = ox // 8 * 8
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(n_roi,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * num_levels,
+        out_specs=pl.BlockSpec(
+            (1, n, n, c), lambda i, *_: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((WIN, WIN, c), features[0].dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(
+        _ml_kernel, s=s, r=r, num_levels=num_levels,
+        level_dims=tuple((int(d[0]), int(d[1])) for d in dims),
+    )
+    samples = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_roi, n, n, c), jnp.float32),
+        grid_spec=grid_spec,
+    )(oy, ox, batch_idx.astype(jnp.int32), lvl,
+      y0, x0, bin_h, bin_w, *padded)
 
     samples = samples.reshape(n_roi, s, r, s, r, c)
     return jnp.mean(samples, axis=(2, 4))
