@@ -50,7 +50,7 @@ def benchmark_eval(cfg, iters=20, batch=4, h=800, w=1344):
     }
 
 
-def benchmark_train(cfg, iters=10, batch=None, h=512, w=864):
+def benchmark_train(cfg, iters=10, batch=None, h=800, w=1344):
     import jax
     import jax.numpy as jnp
 
@@ -61,7 +61,7 @@ def benchmark_train(cfg, iters=10, batch=None, h=512, w=864):
 
     mesh = create_mesh()
     n_dev = mesh.devices.size
-    b = batch or n_dev
+    b = batch or 2 * n_dev   # 2 imgs/chip (the reference recipe's density)
     rng = np.random.RandomState(0)
     g, patch = 20, 64
     xy = rng.rand(b, g, 2) * (h / 2)
@@ -83,17 +83,27 @@ def benchmark_train(cfg, iters=10, batch=None, h=512, w=864):
     )
     tx = build_optimizer(cfg.solver)
     model, state = create_train_state(cfg, jax.random.PRNGKey(0), bt, tx)
+    from u2seg_tpu.parallel.mesh import replicated
+
+    state = jax.device_put(state, replicated(mesh))
+    # donate=False: buffer donation through the remote tunnel backend forces
+    # a full state round-trip per step (~100x slowdown); on directly-attached
+    # TPUs donation is the right default (see DefaultTrainer)
     step = make_train_step(model, tx, mesh, donate=False)
     bt = shard_batch(mesh, bt)
     key = jax.random.PRNGKey(1)
+
+    def sync(metrics):
+        return float(np.asarray(metrics["total_loss"]))
+
     t0 = time.perf_counter()
     state, m = step(state, bt, key)
-    jax.block_until_ready(m)
+    sync(m)
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, bt, key)
-    jax.block_until_ready(m)
+    sync(m)
     dt = time.perf_counter() - t0
     return {
         "imgs_per_sec": b * iters / dt,

@@ -93,3 +93,27 @@ def register_all_coco(
                 os.path.join(root, "coco/panoptic_stuff_val2017"),
                 os.path.join(root, "coco/annotations/instances_val2017.json"),
             )
+
+
+def register_ade20k(root: str = "datasets"):
+    """ADE20k-150 semantic segmentation (ref builtin.py register_all_ade20k:
+    images + per-pixel annotation pngs prepared by prepare_ade20k_sem_seg)."""
+    from u2seg_tpu.data.coco import load_sem_seg
+
+    for split in ("training", "validation"):
+        name = f"ade20k_sem_seg_{split[:5]}" if split == "training" else \
+            "ade20k_sem_seg_val"
+        name = "ade20k_sem_seg_train" if split == "training" else name
+        if name in DatasetCatalog:
+            continue
+        image_dir = os.path.join(root, "ADEChallengeData2016/images", split)
+        gt_dir = os.path.join(
+            root, "ADEChallengeData2016/annotations_detectron2", split
+        )
+        DatasetCatalog.register(
+            name, lambda i=image_dir, g=gt_dir: load_sem_seg(g, i)
+        )
+        MetadataCatalog.get(name).set(
+            evaluator_type="sem_seg", ignore_label=255,
+            image_root=image_dir, sem_seg_root=gt_dir,
+        )

@@ -162,10 +162,10 @@ class CommonMetricPrinter(EventWriter):
         eta = ""
         try:
             t = storage.history("time").global_avg()
-            if self._max_iter:
+            if self._max_iter and t > 0:
                 eta_s = t * (self._max_iter - it - 1)
                 eta = f"eta: {datetime.timedelta(seconds=int(eta_s))}  "
-        except KeyError:
+        except (KeyError, IndexError):
             pass
         losses = [
             f"{k}: {h.median(self._window):.4g}"
@@ -175,12 +175,12 @@ class CommonMetricPrinter(EventWriter):
         lr = ""
         try:
             lr = f"lr: {storage.history('lr').latest():.5g}  "
-        except KeyError:
+        except (KeyError, IndexError):
             pass
         tstr = ""
         try:
             tstr = f"time: {storage.history('time').avg(self._window):.4f}  "
-        except KeyError:
+        except (KeyError, IndexError):
             pass
         logger.info(
             "%siter: %d  %s  %s%s", eta, it, "  ".join(losses), tstr, lr

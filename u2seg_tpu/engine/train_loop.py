@@ -135,6 +135,11 @@ class DefaultTrainer(TrainerBase):
         self.model, self.state = create_train_state(
             cfg, jax.random.PRNGKey(seed), sb, self.tx
         )
+        # replicate the train state across the mesh so it composes with the
+        # batch's data-axis sharding inside the jitted step
+        from u2seg_tpu.parallel.mesh import replicated
+
+        self.state = jax.device_put(self.state, replicated(self.mesh))
         self.step_fn = make_train_step(self.model, self.tx, self.mesh)
         self._rng = jax.random.PRNGKey(seed + 1)
         self.checkpointer = Checkpointer(cfg.output_dir)

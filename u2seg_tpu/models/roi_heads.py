@@ -342,8 +342,12 @@ class StandardROIHeads(nn.Module):
     def _strides(self):
         return [FPN_STRIDES[f] for f in self.cfg.in_features]
 
-    def _pool(self, features, boxes, resolution, sampling_ratio):
-        """boxes: (B, K, 4) -> pooled (B*K, R, R, C)."""
+    def _pool(self, features, boxes, resolution, sampling_ratio,
+              train: bool = False):
+        """boxes: (B, K, 4) -> pooled (B*K, R, R, C).
+
+        Training always uses the differentiable gather pooler (the Pallas
+        kernel has no VJP yet); inference uses the configured backend."""
         b, k, _ = boxes.shape
         flat = boxes.reshape(-1, 4)
         bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
@@ -351,6 +355,8 @@ class StandardROIHeads(nn.Module):
         impl = self.cfg.pooler_impl
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "gather"
+        if train:
+            impl = "gather"
         if impl == "pallas":
             from u2seg_tpu.ops.roi_align_pallas import (
                 multilevel_roi_align_pallas,
@@ -415,7 +421,7 @@ class StandardROIHeads(nn.Module):
         mboxes = jnp.take_along_axis(proposals.boxes, midx[..., None], axis=1)
         pooled = self._pool(
             features, mboxes, c.mask_head.pooler_resolution,
-            c.mask_head.pooler_sampling_ratio,
+            c.mask_head.pooler_sampling_ratio, train=True,
         )
         logits = self.mask_head(pooled, train=train)  # (B*cap, 2R, 2R, Cm)
         out_size = logits.shape[1]
@@ -492,7 +498,7 @@ class StandardROIHeads(nn.Module):
             )
             pooled = self._pool(
                 features, proposals.boxes, c.box_head.pooler_resolution,
-                c.box_head.pooler_sampling_ratio,
+                c.box_head.pooler_sampling_ratio, train=True,
             )
             x = self.box_head(pooled, train=train)
             scores_p, deltas_p = self.box_predictor(x)
@@ -557,7 +563,7 @@ class CascadeROIHeads(StandardROIHeads):
         c = self.cfg
         pooled = self._pool(
             features, boxes, c.box_head.pooler_resolution,
-            c.box_head.pooler_sampling_ratio,
+            c.box_head.pooler_sampling_ratio, train=train,
         )
         pooled = scale_gradient(pooled, 1.0 / len(c.cascade_ious))
         x = self.box_heads[stage](pooled, train=train)
