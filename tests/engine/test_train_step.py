@@ -20,6 +20,10 @@ def test_train_step_runs_updates_and_replicates(rng):
     batch = tiny_batch(rng)
     tx = build_optimizer(cfg.solver)
     model, state = create_train_state(cfg, jax.random.PRNGKey(0), batch, tx)
+    # replicate up front: otherwise call 2 recompiles for the new sharding
+    from u2seg_tpu.parallel.mesh import replicated
+
+    state = jax.device_put(state, replicated(mesh))
     step = make_train_step(model, tx, mesh, donate=False)
 
     p0 = jax.tree_util.tree_leaves(state.params)[0].copy()

@@ -101,3 +101,90 @@ def test_multilevel_matches_single_level(rng):
     got = multilevel_roi_align(feats, small, bidx, 7, strides=[4, 8], sampling_ratio=2)
     single = roi_align(feats[0], small, bidx, 7, 1.0 / 4, 2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(single), rtol=1e-5)
+
+
+# ------------------------------------------------------- ROIAlignRotated
+
+def _roi_align_rotated_np(feat, rois, bidx, s, scale, ratio):
+    """Brute-force replica of ROIAlignRotated_cuda.cu:160-230."""
+    b, h, w, c = feat.shape
+    out = np.zeros((rois.shape[0], s, s, c), np.float32)
+
+    def bilinear(img, y, x):
+        if y < -1.0 or y > h or x < -1.0 or x > w:
+            return np.zeros(c, np.float32)
+        y = min(max(y, 0.0), h - 1)
+        x = min(max(x, 0.0), w - 1)
+        y0, x0 = int(np.floor(y)), int(np.floor(x))
+        y1, x1 = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+        fy, fx = y - y0, x - x0
+        return (img[y0, x0] * (1 - fy) * (1 - fx) + img[y0, x1] * (1 - fy) * fx
+                + img[y1, x0] * fy * (1 - fx) + img[y1, x1] * fy * fx)
+
+    for n in range(rois.shape[0]):
+        img = feat[bidx[n]]
+        cx = rois[n, 0] * scale - 0.5
+        cy = rois[n, 1] * scale - 0.5
+        rw = rois[n, 2] * scale
+        rh = rois[n, 3] * scale
+        th = rois[n, 4] * np.pi / 180.0
+        ct, st = np.cos(th), np.sin(th)
+        bh, bw = rh / s, rw / s
+        for ph in range(s):
+            for pw in range(s):
+                acc = np.zeros(c, np.float32)
+                for iy in range(ratio):
+                    for ix in range(ratio):
+                        yy = -rh / 2 + ph * bh + (iy + 0.5) * bh / ratio
+                        xx = -rw / 2 + pw * bw + (ix + 0.5) * bw / ratio
+                        y = yy * ct - xx * st + cy
+                        x = yy * st + xx * ct + cx
+                        acc += bilinear(img, y, x)
+                out[n, ph, pw] = acc / (ratio * ratio)
+    return out
+
+
+def test_roi_align_rotated_matches_bruteforce(rng):
+    from u2seg_tpu.ops.roi_align import roi_align_rotated
+
+    feat = rng.randn(2, 24, 32, 3).astype(np.float32)
+    rois = np.array([
+        [40.0, 40.0, 48.0, 32.0, 0.0],
+        [50.0, 44.0, 60.0, 24.0, 30.0],
+        [30.0, 60.0, 40.0, 56.0, -75.0],
+        [64.0, 40.0, 100.0, 80.0, 180.0],
+    ], np.float32)
+    bidx = np.array([0, 1, 0, 1], np.int32)
+    ref = _roi_align_rotated_np(feat, rois, bidx, 7, 0.25, 2)
+    got = roi_align_rotated(jnp.array(feat), jnp.array(rois),
+                            jnp.array(bidx), 7, 0.25, 2)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_roi_align_rotated_zero_angle_equals_axis_aligned(rng):
+    from u2seg_tpu.ops.roi_align import roi_align, roi_align_rotated
+
+    feat = jnp.array(rng.randn(1, 32, 32, 4).astype(np.float32))
+    # (cx, cy, w, h, 0) == XYXY box [cx-w/2, cy-h/2, cx+w/2, cy+h/2]
+    rot = jnp.array([[60.0, 52.0, 56.0, 40.0, 0.0]])
+    xyxy = jnp.array([[32.0, 32.0, 88.0, 72.0]])
+    bidx = jnp.zeros(1, jnp.int32)
+    a = roi_align_rotated(feat, rot, bidx, 7, 0.25, 2)
+    b = roi_align(feat, xyxy, bidx, 7, 0.25, 2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
+def test_multilevel_roi_align_rotated_routes(rng):
+    from u2seg_tpu.ops.roi_align import (
+        multilevel_roi_align_rotated, roi_align_rotated,
+    )
+
+    feats = [
+        jnp.array(rng.randn(1, 32, 32, 4).astype(np.float32)),
+        jnp.array(rng.randn(1, 16, 16, 4).astype(np.float32)),
+    ]
+    rois = jnp.array([[40.0, 40.0, 30.0, 34.0, 25.0]])  # small -> level 0
+    bidx = jnp.zeros(1, jnp.int32)
+    got = multilevel_roi_align_rotated(feats, rois, bidx, 7, [4, 8], 2)
+    single = roi_align_rotated(feats[0], rois, bidx, 7, 0.25, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(single), rtol=1e-5)

@@ -134,7 +134,16 @@ def make_train_step(
         check_rep=False,
     )
 
-    step = jax.jit(mapped, donate_argnums=(0,) if donate else ())
+    # pin shardings explicitly: without them, the output state's sharding
+    # objects don't compare equal to fresh inputs' and every call RECOMPILES
+    state_sh = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+    step = jax.jit(
+        mapped,
+        in_shardings=(state_sh, batch_sh, state_sh),
+        out_shardings=(state_sh, state_sh),
+        donate_argnums=(0,) if donate else (),
+    )
     return step
 
 
@@ -154,4 +163,8 @@ def make_eval_step(model: PanopticFPN, mesh, combine: bool = True):
         out_specs=P(DATA_AXIS),
         check_rep=False,
     )
-    return jax.jit(mapped)
+    rep = NamedSharding(mesh, P())
+    dat = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        mapped, in_shardings=(rep, rep, dat, dat), out_shardings=dat
+    )

@@ -7,10 +7,14 @@ from u2seg_tpu.evaluation.evaluator import (
     inference_on_dataset,
 )
 from u2seg_tpu.evaluation.panoptic_evaluator import COCOPanopticEvaluator
+from u2seg_tpu.evaluation.rotated_coco_evaluator import (
+    RotatedCOCOeval,
+    RotatedCOCOEvaluator,
+)
 from u2seg_tpu.evaluation.sem_seg_evaluator import SemSegEvaluator
 
 __all__ = [
     "COCO", "COCOeval", "COCOEvaluator", "COCOPanopticEvaluator",
-    "DatasetEvaluator", "DatasetEvaluators", "SemSegEvaluator",
-    "inference_on_dataset",
+    "DatasetEvaluator", "DatasetEvaluators", "RotatedCOCOeval",
+    "RotatedCOCOEvaluator", "SemSegEvaluator", "inference_on_dataset",
 ]

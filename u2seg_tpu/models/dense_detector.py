@@ -25,30 +25,32 @@ from u2seg_tpu.structures.instances import Detections, GtInstances
 
 
 class DenseHead(nn.Module):
-    """Shared 4-conv cls & box towers (ref retinanet.py RetinaNetHead)."""
+    """Shared 4-conv cls & box towers (ref retinanet.py RetinaNetHead).
+
+    ``norm`` adds a norm after every tower conv (the head-BN variants of
+    projects/Rethinking-BatchNorm); ``shared_levels_bn`` normalizes ALL
+    pyramid levels with one set of moments (its SharedTraining variant).
+    With norms, the same norm module is applied to every level (shared
+    params; in training the stored running stats are the last level's —
+    the cross-level stats discrepancy is exactly that project's subject).
+    """
 
     num_classes: int
     num_anchors: int
     conv_dims: Tuple[int, ...] = (256, 256, 256, 256)
     prior_prob: float = 0.01
     with_centerness: bool = False
+    norm: str = ""
+    shared_levels_bn: bool = False
 
     @nn.compact
-    def __call__(self, features: Sequence[jnp.ndarray]):
+    def __call__(self, features: Sequence[jnp.ndarray], train: bool = False):
+        from u2seg_tpu.ops.norms import get_norm
+
         init = nn.initializers.normal(0.01)
         bias_init = nn.initializers.constant(
             -math.log((1 - self.prior_prob) / self.prior_prob)
         )
-        cls_convs = [
-            nn.Conv(d, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=init,
-                    name=f"cls_conv{i}")
-            for i, d in enumerate(self.conv_dims)
-        ]
-        box_convs = [
-            nn.Conv(d, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=init,
-                    name=f"box_conv{i}")
-            for i, d in enumerate(self.conv_dims)
-        ]
         cls_pred = nn.Conv(
             self.num_anchors * self.num_classes, (3, 3),
             padding=[(1, 1), (1, 1)], kernel_init=init, bias_init=bias_init,
@@ -63,18 +65,34 @@ class DenseHead(nn.Module):
                     kernel_init=init, name="centerness")
             if self.with_centerness else None
         )
-        logits, boxes, ctr = [], [], []
-        for f in features:
-            c = f
-            for conv in cls_convs:
-                c = nn.relu(conv(c))
-            b = f
-            for conv in box_convs:
-                b = nn.relu(conv(b))
-            logits.append(cls_pred(c))
-            boxes.append(box_pred(b))
-            if ctr_pred is not None:
-                ctr.append(ctr_pred(b))
+
+        def tower(feats, prefix):
+            feats = list(feats)
+            for i, d in enumerate(self.conv_dims):
+                conv = nn.Conv(d, (3, 3), padding=[(1, 1), (1, 1)],
+                               kernel_init=init, name=f"{prefix}_conv{i}")
+                feats = [conv(f) for f in feats]
+                if self.norm:
+                    norm_mod = get_norm(self.norm, d)
+                    if self.shared_levels_bn:
+                        from u2seg_tpu.projects.rethinking_bn import (
+                            shared_levels_norm,
+                        )
+
+                        feats = shared_levels_norm(norm_mod, feats, train)
+                    elif isinstance(norm_mod, nn.BatchNorm):
+                        feats = [norm_mod(f, use_running_average=not train)
+                                 for f in feats]
+                    else:
+                        feats = [norm_mod(f) for f in feats]
+                feats = [nn.relu(f) for f in feats]
+            return feats
+
+        cls_feats = tower(features, "cls")
+        box_feats = tower(features, "box")
+        logits = [cls_pred(f) for f in cls_feats]
+        boxes = [box_pred(f) for f in box_feats]
+        ctr = [ctr_pred(f) for f in box_feats] if ctr_pred is not None else []
         return logits, boxes, ctr
 
 
@@ -91,6 +109,9 @@ class RetinaNetConfig:
     topk_candidates: int = 1000
     nms_thresh: float = 0.5
     max_detections: int = 100
+    # head-BN experiments (projects/Rethinking-BatchNorm)
+    head_norm: str = ""
+    head_shared_bn: bool = False
 
 
 class RetinaNet(nn.Module):
@@ -121,8 +142,9 @@ class RetinaNet(nn.Module):
         num_anchors = len(self.anchor_cfg.aspect_ratios) * len(
             self.anchor_cfg.sizes[0]
         )
-        head = DenseHead(c.num_classes, num_anchors, name="head")
-        logits_l, deltas_l, _ = head(feats)
+        head = DenseHead(c.num_classes, num_anchors, norm=c.head_norm,
+                         shared_levels_bn=c.head_shared_bn, name="head")
+        logits_l, deltas_l, _ = head(feats, train=train)
         b = feats[0].shape[0]
         logits = jnp.concatenate(
             [x.reshape(b, -1, c.num_classes) for x in logits_l], axis=1
@@ -234,6 +256,7 @@ class FCOSConfig:
     size_ranges: Tuple[Tuple[float, float], ...] = (
         (0, 64), (64, 128), (128, 256), (256, 512), (512, float("inf")),
     )
+    head_norm: str = ""
 
 
 class FCOS(nn.Module):
@@ -248,8 +271,9 @@ class FCOS(nn.Module):
         c = self.cfg
         feats = [features[f] for f in c.in_features]
         strides = [FPN_STRIDES[f] for f in c.in_features]
-        head = DenseHead(c.num_classes, 1, with_centerness=True, name="head")
-        logits_l, reg_l, ctr_l = head(feats)
+        head = DenseHead(c.num_classes, 1, with_centerness=True,
+                         norm=c.head_norm, name="head")
+        logits_l, reg_l, ctr_l = head(feats, train=train)
 
         b = feats[0].shape[0]
         points, point_strides, ranges = [], [], []

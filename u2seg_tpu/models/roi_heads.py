@@ -296,7 +296,15 @@ def fast_rcnn_inference(
         flat_scores = cls_scores.reshape(-1)
         flat_scores = jnp.where(flat_scores > score_thresh, flat_scores, -jnp.inf)
         m = min(candidate_topk, flat_scores.shape[0])
-        top_s, top_i = jax.lax.top_k(flat_scores, m)
+        # approx_max_k: TPU-native partial sort (full top_k over K*C ~ 800k
+        # candidates costs tens of ms; recall>=99% here only reorders
+        # candidates far below the NMS cut)
+        if flat_scores.shape[0] > 4 * m:
+            top_s, top_i = jax.lax.approx_max_k(
+                flat_scores, m, recall_target=0.99
+            )
+        else:
+            top_s, top_i = jax.lax.top_k(flat_scores, m)
         cand = cand_boxes.reshape(-1, 4)[top_i]
         cand = box_ops.clip(cand, hw)
         cls_id = (top_i % num_classes).astype(jnp.int32)
@@ -346,8 +354,9 @@ class StandardROIHeads(nn.Module):
               train: bool = False):
         """boxes: (B, K, 4) -> pooled (B*K, R, R, C).
 
-        Training always uses the differentiable gather pooler (the Pallas
-        kernel has no VJP yet); inference uses the configured backend."""
+        Backend per cfg.roi_heads.pooler_impl ("auto" = Pallas on TPU).
+        Training uses the custom-VJP Pallas pooler (kernel forward, exact
+        hand-derived transpose backward); inference the plain kernel."""
         b, k, _ = boxes.shape
         flat = boxes.reshape(-1, 4)
         bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
@@ -355,14 +364,14 @@ class StandardROIHeads(nn.Module):
         impl = self.cfg.pooler_impl
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "gather"
-        if train:
-            impl = "gather"
         if impl == "pallas":
             from u2seg_tpu.ops.roi_align_pallas import (
                 multilevel_roi_align_pallas,
+                multilevel_roi_align_train,
             )
 
-            return multilevel_roi_align_pallas(
+            fn = multilevel_roi_align_train if train else multilevel_roi_align_pallas
+            return fn(
                 feats, flat, bidx, resolution, tuple(self._strides()),
                 sampling_ratio=sampling_ratio,
             )

@@ -67,6 +67,12 @@ def get_norm(norm: Optional[str], features: int, *, axis_name: str = "data") -> 
         )
     if norm == "FrozenBN":
         return FrozenBatchNorm(features)
+    if norm in ("BNBatchStats", "SyncBNBatchStats"):
+        from u2seg_tpu.projects.rethinking_bn import BatchNormBatchStats
+
+        return BatchNormBatchStats(
+            axis_name=axis_name if norm.startswith("Sync") else None
+        )
     if norm == "GN":
         import math
 

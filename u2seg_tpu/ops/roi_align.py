@@ -258,3 +258,115 @@ def multilevel_roi_align(
     )
     samples = samples.reshape(n_roi, s, r, s, r, c)
     return jnp.mean(samples, axis=(2, 4))
+
+
+def roi_align_rotated(
+    features: jnp.ndarray,     # (B, H, W, C)
+    rois: jnp.ndarray,         # (R, 5): (cx, cy, w, h, angle_deg CCW)
+    batch_idx: jnp.ndarray,    # (R,) int32
+    output_size: int,
+    spatial_scale: float,
+    sampling_ratio: int = 0,
+) -> jnp.ndarray:
+    """ROIAlignRotated (ref layers/csrc/ROIAlignRotated_cuda.cu:160-230,
+    always aligned=True): the bin sample grid is laid out in the box frame
+    (centered, axis-aligned) then rotated by ``angle`` and translated to the
+    box center. The rotation couples the two axes, so unlike ``roi_align``
+    the bilinear weights don't factorize — each sample gathers its 4
+    corners. Boundary semantics match ROIAlign: samples outside
+    [-1, size] contribute 0; in-range coords clamp into [0, size-1].
+
+    Static shapes: sampling_ratio<=0 (reference: adaptive ceil(h/s)) is
+    fixed to 2, same convention as ``roi_align``. Returns (R, S, S, C) f32.
+    """
+    if sampling_ratio <= 0:
+        sampling_ratio = 2
+    s, r = output_size, sampling_ratio
+    b, h, w, c = features.shape
+    n_roi = rois.shape[0]
+
+    cx = rois[:, 0] * spatial_scale - 0.5
+    cy = rois[:, 1] * spatial_scale - 0.5
+    rw = rois[:, 2] * spatial_scale
+    rh = rois[:, 3] * spatial_scale
+    theta = rois[:, 4] * (np.pi / 180.0)
+    cos_t = jnp.cos(theta)[:, None, None]
+    sin_t = jnp.sin(theta)[:, None, None]
+
+    # sample offsets in the box frame, relative to the box center
+    rel = _sample_coords_1d(jnp.zeros_like(cx), jnp.ones_like(cx), s, r)
+    yy = (-rh / 2.0)[:, None] + rel * (rh / s)[:, None]      # (R, n)
+    xx = (-rw / 2.0)[:, None] + rel * (rw / s)[:, None]
+    # rotate around the center and translate (full (R, n, n) grid)
+    ys = yy[:, :, None] * cos_t - xx[:, None, :] * sin_t + cy[:, None, None]
+    xs = yy[:, :, None] * sin_t + xx[:, None, :] * cos_t + cx[:, None, None]
+
+    inside = (ys >= -1.0) & (ys <= h) & (xs >= -1.0) & (xs <= w)
+    ys = jnp.clip(ys, 0.0, h - 1.0)
+    xs = jnp.clip(xs, 0.0, w - 1.0)
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    fy = ys - y0
+    fx = xs - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+
+    flat = features.reshape(b * h * w, c)
+    base = (batch_idx.astype(jnp.int32) * h * w)[:, None, None]
+
+    def gather(yi, xi):
+        lin = base + yi * w + xi
+        return jnp.take(flat, lin.reshape(-1), axis=0).reshape(
+            n_roi, s * r, s * r, c
+        ).astype(jnp.float32)
+
+    wgt = lambda a: a[..., None]
+    samples = (
+        gather(y0i, x0i) * wgt((1 - fy) * (1 - fx))
+        + gather(y0i, x1i) * wgt((1 - fy) * fx)
+        + gather(y1i, x0i) * wgt(fy * (1 - fx))
+        + gather(y1i, x1i) * wgt(fy * fx)
+    ) * wgt(inside.astype(jnp.float32))
+    samples = samples.reshape(n_roi, s, r, s, r, c)
+    return jnp.mean(samples, axis=(2, 4))
+
+
+def multilevel_roi_align_rotated(
+    features: Sequence[jnp.ndarray],
+    rois: jnp.ndarray,         # (R, 5)
+    batch_idx: jnp.ndarray,
+    output_size: int,
+    strides: Sequence[int],
+    sampling_ratio: int = 0,
+    canonical_box_size: float = 224.0,
+    canonical_level: int = 4,
+) -> jnp.ndarray:
+    """Rotated ROIPooler: level routing by sqrt(w*h) (the reference routes
+    rotated boxes through the same ROIPooler heuristic, poolers.py:114),
+    then ROIAlignRotated on every ROI at its level. Rotated grids aren't
+    separable, so this pools every level and selects per ROI — levels are
+    few (4) and the small rotated-head capacities keep this cheap."""
+    min_level = int(math.log2(strides[0]))
+    max_level = int(math.log2(strides[-1]))
+    # level assignment uses sqrt(area): synthesize XYXY extents around center
+    half_w = rois[:, 2] / 2.0
+    half_h = rois[:, 3] / 2.0
+    xyxy = jnp.stack([
+        rois[:, 0] - half_w, rois[:, 1] - half_h,
+        rois[:, 0] + half_w, rois[:, 1] + half_h,
+    ], axis=1)
+    levels = assign_boxes_to_levels(
+        xyxy, min_level, max_level, canonical_box_size, canonical_level
+    )
+    lvl = levels - min_level
+    outs = [
+        roi_align_rotated(f, rois, batch_idx, output_size,
+                          1.0 / float(st), sampling_ratio)
+        for f, st in zip(features, strides)
+    ]
+    stacked = jnp.stack(outs, axis=0)             # (L, R, S, S, C)
+    return jnp.take_along_axis(
+        stacked, lvl[None, :, None, None, None], axis=0
+    )[0]

@@ -30,7 +30,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WIN = 48  # feature-cell window per ROI (covers level-routed ROI spans)
+WIN = 40  # feature-cell window per ROI (covers level-routed spans <= 32 cells)
 
 
 def _roi_align_kernel(
@@ -181,6 +181,10 @@ def roi_align_pallas(
 # Multilevel (FPN) variant: per-ROI level routing with predicated DMA
 # ---------------------------------------------------------------------------
 
+ROIS_PER_STEP = 4  # ROIs per grid step (VMEM: G*WIN^2*C must fit): overlaps window DMAs and
+                   # amortizes per-step launch overhead
+
+
 def _ml_kernel(
     oy_ref,            # (R,) int32 window y origin in the ROI's level
     ox_ref,            # (R,) int32 aligned x origin
@@ -196,73 +200,151 @@ def _ml_kernel(
     num_levels: int,
     level_dims: tuple,  # static ((H_l, W_l), ...) true (pre-pad) dims
 ):
-    out_ref = refs[num_levels]
-    win_ref = refs[num_levels + 1]
-    sem = refs[num_levels + 2]
+    out_ref = refs[num_levels]           # (G, n, n, C) block
+    win_ref = refs[num_levels + 1]       # (G, WIN, WIN, C) scratch
+    sems = refs[num_levels + 2]          # (G,) DMA semaphores
 
-    roi = pl.program_id(0)
-    oy = oy_ref[roi]
-    # x-origin is host-aligned to the 8-sublane HBM tiling (DMA constraint)
-    ox = pl.multiple_of(ox_ref[roi], 8)
-    b = batch_ref[roi]
-    lvl = lvl_ref[roi]
+    step = pl.program_id(0)
+    g = ROIS_PER_STEP
+    base = step * g
 
-    for k in range(num_levels):
-        @pl.when(lvl == k)
-        def _(k=k):
-            copy = pltpu.make_async_copy(
-                refs[k].at[b, pl.ds(oy, WIN), pl.ds(ox, WIN), :],
-                win_ref,
-                sem,
-            )
-            copy.start()
-            copy.wait()
-
-    y0 = y0_ref[roi]
-    x0 = x0_ref[roi]
-    bin_h = binh_ref[roi]
-    bin_w = binw_ref[roi]
-    # level dims are static per level; select by traced lvl
-    h = jnp.float32(level_dims[0][0])
-    w = jnp.float32(level_dims[0][1])
-    for k in range(1, num_levels):
-        h = jnp.where(lvl == k, jnp.float32(level_dims[k][0]), h)
-        w = jnp.where(lvl == k, jnp.float32(level_dims[k][1]), w)
+    # launch all window DMAs for this step's ROIs (they overlap)
+    for j in range(g):
+        roi = base + j
+        oy = oy_ref[roi]
+        ox = pl.multiple_of(ox_ref[roi], 8)
+        b = batch_ref[roi]
+        lvl = lvl_ref[roi]
+        for k in range(num_levels):
+            @pl.when(lvl == k)
+            def _(k=k, j=j, b=b, oy=oy, ox=ox):
+                pltpu.make_async_copy(
+                    refs[k].at[b, pl.ds(oy, WIN), pl.ds(ox, WIN), :],
+                    win_ref.at[j],
+                    sems.at[j],
+                ).start()
 
     n = s * r
     idx_i = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     offs = (idx_i // r).astype(jnp.float32)
     sub = ((idx_i % r).astype(jnp.float32) + 0.5) / r
     rel = (offs + sub)[:, 0]
-    ys = y0 + rel * bin_h
-    xs = x0 + rel * bin_w
 
     def axis_weights(coords, size, origin):
         inside = (coords >= -1.0) & (coords <= size)
         cc = jnp.clip(coords, 0.0, size - 1.0)
-        local = cc - origin.astype(jnp.float32)
+        # clamp into the window so rare overflowing samples take the edge
+        # cell instead of vanishing (level routing keeps spans <= WIN)
+        local = jnp.clip(cc - origin.astype(jnp.float32), 0.0, WIN - 1.0)
         cells = jax.lax.broadcasted_iota(jnp.int32, (n, WIN), 1).astype(
             jnp.float32
         )
         wgt = jnp.maximum(0.0, 1.0 - jnp.abs(local[:, None] - cells))
         return wgt * inside[:, None]
 
-    wy = axis_weights(ys, h, oy)
-    wx = axis_weights(xs, w, ox)
+    for j in range(g):
+        roi = base + j
+        lvl = lvl_ref[roi]
+        y0 = y0_ref[roi]
+        x0 = x0_ref[roi]
+        bin_h = binh_ref[roi]
+        bin_w = binw_ref[roi]
+        h = jnp.float32(level_dims[0][0])
+        w = jnp.float32(level_dims[0][1])
+        for k in range(1, num_levels):
+            h = jnp.where(lvl == k, jnp.float32(level_dims[k][0]), h)
+            w = jnp.where(lvl == k, jnp.float32(level_dims[k][1]), w)
 
-    window = win_ref[:].astype(jnp.float32)
-    c = window.shape[-1]
-    tmp = jax.lax.dot_general(
-        wy, window.reshape(WIN, WIN * c),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(n, WIN, c)
-    out = jax.lax.dot_general(
-        wx, tmp,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).transpose(1, 0, 2)
-    out_ref[0] = out
+        ys = y0 + rel * bin_h
+        xs = x0 + rel * bin_w
+        wy = axis_weights(ys, h, oy_ref[roi])
+        wx = axis_weights(xs, w, pl.multiple_of(ox_ref[roi], 8))
+
+        # wait only for this ROI's window, keeping later DMAs in flight
+        pltpu.make_async_copy(
+            refs[0].at[0, pl.ds(0, WIN), pl.ds(0, WIN), :], win_ref.at[j],
+            sems.at[j],
+        ).wait()
+        window = win_ref[j].astype(jnp.float32)
+        c = window.shape[-1]
+        tmp = jax.lax.dot_general(
+            wy, window.reshape(WIN, WIN * c),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(n, WIN, c)
+        out = jax.lax.dot_general(
+            wx, tmp,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).transpose(1, 0, 2)
+        out_ref[j] = out
+
+
+def _padded_dims(dims) -> Tuple[Tuple[int, int], ...]:
+    """Zero-padded level dims so an 8-aligned WINxWIN window always fits."""
+    out = []
+    for h, w in dims:
+        ph = max(h, WIN)
+        # pad W so the aligned window always fits (multiple of 8, >= WIN+8)
+        pw = max(((w + 7) // 8) * 8, WIN + 8)
+        out.append((ph, pw))
+    return tuple(out)
+
+
+def _ml_prep(
+    boxes: jnp.ndarray,
+    dims: Tuple[Tuple[int, int], ...],
+    strides: Tuple[int, ...],
+    s: int,
+    r: int,
+    canonical_box_size: float,
+    canonical_level: int,
+):
+    """Shared routing/window math for the multilevel kernel, its pure-JAX
+    reference, and the hand-derived backward: per-ROI level (with the
+    window-fit bump), window origins, and bin geometry in level coords."""
+    import math as _math
+
+    from u2seg_tpu.ops.roi_align import assign_boxes_to_levels
+
+    num_levels = len(dims)
+    min_level = int(_math.log2(strides[0]))
+    levels = assign_boxes_to_levels(
+        boxes, min_level, min_level + num_levels - 1,
+        canonical_box_size, canonical_level,
+    )
+    lvl = (levels - min_level).astype(jnp.int32)
+    # window-fit routing: elongated boxes whose long side exceeds the DMA
+    # window at their canonical level are bumped to a coarser level (a
+    # deliberate deviation from the reference's sqrt-area-only routing;
+    # affects only aspect ratios beyond ~3)
+    max_side = jnp.maximum(
+        boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1]
+    )
+    stride0 = jnp.asarray(np.asarray(strides, np.float32))[lvl]
+    need = jnp.ceil(
+        jnp.log2(jnp.maximum(max_side / stride0 / (WIN - 8), 1e-6))
+    ).astype(jnp.int32)
+    lvl = jnp.clip(lvl + jnp.maximum(need, 0), 0, num_levels - 1)
+
+    pdims = _padded_dims(dims)
+    stride_r = jnp.asarray(np.asarray(strides, np.float32))[lvl]
+    fb = boxes.astype(jnp.float32) / stride_r[:, None]
+    y0 = fb[:, 1] - 0.5
+    x0 = fb[:, 0] - 0.5
+    bin_h = (fb[:, 3] - fb[:, 1]) / s
+    bin_w = (fb[:, 2] - fb[:, 0]) / s
+
+    pad_h = jnp.asarray([d[0] for d in pdims], jnp.int32)[lvl]
+    pad_w = jnp.asarray([d[1] for d in pdims], jnp.int32)[lvl]
+    first_y = jnp.floor(y0 + bin_h * (0.5 / r)) - 1
+    first_x = jnp.floor(x0 + bin_w * (0.5 / r)) - 1
+    oy = jnp.clip(first_y, 0, (pad_h - WIN).astype(jnp.float32)).astype(jnp.int32)
+    # align x-origin down to 8 (HBM tile); padding above keeps it in range
+    ox = jnp.clip(first_x, 0, (pad_w - WIN).astype(jnp.float32)).astype(jnp.int32)
+    ox = ox // 8 * 8
+    return dict(lvl=lvl, oy=oy, ox=ox, y0=y0, x0=x0, bin_h=bin_h,
+                bin_w=bin_w, pdims=pdims)
 
 
 @functools.partial(
@@ -285,10 +367,6 @@ def multilevel_roi_align_pallas(
     interpolation. Levels smaller than WIN are zero-padded up front (the
     axis weights vanish outside the true level size, so padding is exact).
     """
-    import math as _math
-
-    from u2seg_tpu.ops.roi_align import assign_boxes_to_levels
-
     if sampling_ratio <= 0:
         sampling_ratio = 2
     s, r = output_size, sampling_ratio
@@ -297,65 +375,43 @@ def multilevel_roi_align_pallas(
     b, _, _, c = features[0].shape
     n_roi = boxes.shape[0]
 
-    min_level = int(_math.log2(strides[0]))
-    levels = assign_boxes_to_levels(
-        boxes, min_level, min_level + num_levels - 1,
-        canonical_box_size, canonical_level,
-    )
-    lvl = (levels - min_level).astype(jnp.int32)
-    # window-fit routing: elongated boxes whose long side exceeds the DMA
-    # window at their canonical level are bumped to a coarser level (a
-    # deliberate deviation from the reference's sqrt-area-only routing;
-    # affects only aspect ratios beyond ~3)
-    max_side = jnp.maximum(
-        boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1]
-    )
-    stride0 = jnp.asarray(np.asarray(strides, np.float32))[lvl]
-    need = jnp.ceil(
-        jnp.log2(jnp.maximum(max_side / stride0 / (WIN - 8), 1e-6))
-    ).astype(jnp.int32)
-    lvl = jnp.clip(lvl + jnp.maximum(need, 0), 0, num_levels - 1)
+    dims = tuple((f.shape[1], f.shape[2]) for f in features)
+    prep = _ml_prep(boxes, dims, strides, s, r,
+                    canonical_box_size, canonical_level)
+    lvl, oy, ox = prep["lvl"], prep["oy"], prep["ox"]
+    y0, x0 = prep["y0"], prep["x0"]
+    bin_h, bin_w = prep["bin_h"], prep["bin_w"]
 
-    dims = np.array(
-        [[f.shape[1], f.shape[2]] for f in features], np.int32
-    )
     padded = []
-    for f in features:
-        ph = max(WIN - f.shape[1], 0)
-        # pad W so the aligned window always fits (multiple of 8, >= WIN+8)
-        target_w = max(((f.shape[2] + 7) // 8) * 8, WIN + 8)
-        pw = target_w - f.shape[2]
-        if ph or pw:
-            f = jnp.pad(f, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    for f, (ph, pw) in zip(features, prep["pdims"]):
+        dh, dw = ph - f.shape[1], pw - f.shape[2]
+        if dh or dw:
+            f = jnp.pad(f, ((0, 0), (0, dh), (0, dw), (0, 0)))
         padded.append(f)
 
-    stride_r = jnp.asarray(np.asarray(strides, np.float32))[lvl]
-    fb = boxes.astype(jnp.float32) / stride_r[:, None]
-    y0 = fb[:, 1] - 0.5
-    x0 = fb[:, 0] - 0.5
-    bin_h = (fb[:, 3] - fb[:, 1]) / s
-    bin_w = (fb[:, 2] - fb[:, 0]) / s
+    gsz = ROIS_PER_STEP
+    r_pad = ((n_roi + gsz - 1) // gsz) * gsz
 
-    pad_h = jnp.asarray([f.shape[1] for f in padded], jnp.int32)[lvl]
-    pad_w = jnp.asarray([f.shape[2] for f in padded], jnp.int32)[lvl]
-    first_y = jnp.floor(y0 + bin_h * (0.5 / r)) - 1
-    first_x = jnp.floor(x0 + bin_w * (0.5 / r)) - 1
-    oy = jnp.clip(first_y, 0, (pad_h - WIN).astype(jnp.float32)).astype(jnp.int32)
-    # align x-origin down to 8 (HBM tile); padding above keeps it in range
-    ox = jnp.clip(first_x, 0, (pad_w - WIN).astype(jnp.float32)).astype(jnp.int32)
-    ox = ox // 8 * 8
+    def pad1(x, value=0):
+        return jnp.pad(x, (0, r_pad - n_roi), constant_values=value)
+
+    oy_p, ox_p = pad1(oy), pad1(ox)
+    b_p = pad1(batch_idx.astype(jnp.int32))
+    lvl_p = pad1(lvl)
+    y0_p, x0_p = pad1(y0), pad1(x0)
+    binh_p, binw_p = pad1(bin_h), pad1(bin_w)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
-        grid=(n_roi,),
+        grid=(r_pad // gsz,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * num_levels,
         out_specs=pl.BlockSpec(
-            (1, n, n, c), lambda i, *_: (i, 0, 0, 0),
+            (gsz, n, n, c), lambda i, *_: (i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((WIN, WIN, c), features[0].dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((gsz, WIN, WIN, c), features[0].dtype),
+            pltpu.SemaphoreType.DMA((gsz,)),
         ],
     )
     kernel = functools.partial(
@@ -364,10 +420,206 @@ def multilevel_roi_align_pallas(
     )
     samples = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_roi, n, n, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r_pad, n, n, c), jnp.float32),
         grid_spec=grid_spec,
-    )(oy, ox, batch_idx.astype(jnp.int32), lvl,
-      y0, x0, bin_h, bin_w, *padded)
+    )(oy_p, ox_p, b_p, lvl_p, y0_p, x0_p, binh_p, binw_p, *padded)
 
-    samples = samples.reshape(n_roi, s, r, s, r, c)
+    samples = samples[:n_roi].reshape(n_roi, s, r, s, r, c)
     return jnp.mean(samples, axis=(2, 4))
+
+
+# ---------------------------------------------------------------------------
+# Differentiable training pooler: Pallas forward + hand-derived backward.
+#
+# ROIAlign is LINEAR in the features for fixed boxes:
+#     out[q, n1, n2, c] = sum_{i,j} wy[q,n1,i] * wx[q,n2,j] * win_q[i,j,c]
+# so the VJP w.r.t. features needs no forward residuals — it is the exact
+# transpose: per ROI, two small matmuls build the window cotangent
+#     gwin_q[i,j,c] = sum_{n1,n2} wy[q,n1,i] * wx[q,n2,j] * g[q,n1,n2,c]
+# followed by one scatter-add of the windows into the (padded, flattened)
+# feature pyramid. Chunked over ROIs with lax.scan to bound live memory.
+# Counterpart of the reference's ROIAlign_backward CUDA kernel
+# (detectron2/layers/csrc/ROIAlign/ROIAlign_cuda.cu), re-derived for the
+# window/separable formulation above.
+# ---------------------------------------------------------------------------
+
+_BWD_CHUNK = 32  # ROIs per scan step in the backward (bounds gwin memory)
+
+
+def _rel_coords(s: int, r: int) -> jnp.ndarray:
+    """(s*r,) sample offsets in bin units: bin index + centered subsample."""
+    idx = jnp.arange(s * r, dtype=jnp.int32)
+    return (idx // r).astype(jnp.float32) + ((idx % r).astype(jnp.float32) + 0.5) / r
+
+
+def _axis_weights_batch(coords, size, origin):
+    """Batched replica of the kernel's axis_weights: (R, n) -> (R, n, WIN)."""
+    inside = (coords >= -1.0) & (coords <= size[:, None])
+    cc = jnp.clip(coords, 0.0, size[:, None] - 1.0)
+    local = jnp.clip(cc - origin[:, None].astype(jnp.float32), 0.0, WIN - 1.0)
+    cells = jnp.arange(WIN, dtype=jnp.float32)
+    wgt = jnp.maximum(0.0, 1.0 - jnp.abs(local[:, :, None] - cells))
+    return wgt * inside[:, :, None]
+
+
+def _ml_geometry(boxes, batch_idx, dims, strides, s, r, cbs, cl):
+    """Per-ROI separable weights + flat window indices into the padded,
+    flattened pyramid. Shared by the reference forward and the backward."""
+    prep = _ml_prep(boxes, dims, strides, s, r, cbs, cl)
+    lvl, oy, ox = prep["lvl"], prep["oy"], prep["ox"]
+    pdims = prep["pdims"]
+    n = s * r
+
+    true_h = jnp.asarray([d[0] for d in dims], jnp.float32)[lvl]
+    true_w = jnp.asarray([d[1] for d in dims], jnp.float32)[lvl]
+    rel = _rel_coords(s, r)
+    ys = prep["y0"][:, None] + rel[None, :] * prep["bin_h"][:, None]
+    xs = prep["x0"][:, None] + rel[None, :] * prep["bin_w"][:, None]
+    wy = _axis_weights_batch(ys, true_h, oy)     # (R, n, WIN)
+    wx = _axis_weights_batch(xs, true_w, ox)
+
+    sizes = np.array([ph * pw for ph, pw in pdims], np.int64)
+    offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int32)
+    total = int(offsets[-1])
+    pw_r = jnp.asarray([d[1] for d in pdims], jnp.int32)[lvl]
+    base = batch_idx.astype(jnp.int32) * total + jnp.asarray(offsets[:-1])[lvl]
+    ii = jnp.arange(WIN, dtype=jnp.int32)
+    rows = (oy[:, None] + ii) * pw_r[:, None]                    # (R, WIN)
+    cols = ox[:, None] + ii                                      # (R, WIN)
+    idx = base[:, None, None] + rows[:, :, None] + cols[:, None, :]
+    return wy, wx, idx, prep, total
+
+
+def _pad_pyramid_flat(features, pdims):
+    """Concatenate zero-padded levels into one (B*total, C) buffer."""
+    b = features[0].shape[0]
+    c = features[0].shape[-1]
+    flat = []
+    for f, (ph, pw) in zip(features, pdims):
+        dh, dw = ph - f.shape[1], pw - f.shape[2]
+        if dh or dw:
+            f = jnp.pad(f, ((0, 0), (0, dh), (0, dw), (0, 0)))
+        flat.append(f.reshape(b, -1, c))
+    return jnp.concatenate(flat, axis=1).reshape(-1, c)
+
+
+def multilevel_roi_align_ref(
+    features, boxes, batch_idx, output_size, strides,
+    sampling_ratio: int = 2, canonical_box_size: float = 224.0,
+    canonical_level: int = 4,
+) -> jnp.ndarray:
+    """Pure-JAX replica of the Pallas kernel's exact math (window gather +
+    separable matmuls). Used to validate the kernel and its hand-written
+    VJP; differentiable by autodiff."""
+    if sampling_ratio <= 0:
+        sampling_ratio = 2
+    s, r = output_size, sampling_ratio
+    dims = tuple((f.shape[1], f.shape[2]) for f in features)
+    wy, wx, idx, prep, _ = _ml_geometry(
+        boxes, batch_idx, dims, tuple(strides), s, r,
+        canonical_box_size, canonical_level,
+    )
+    flat = _pad_pyramid_flat(features, prep["pdims"]).astype(jnp.float32)
+    win = flat[idx]                                    # (R, WIN, WIN, C)
+    out = jnp.einsum("rni,rijc->rnjc", wy, win)
+    out = jnp.einsum("rmj,rnjc->rnmc", wx, out)
+    n_roi, c = boxes.shape[0], features[0].shape[-1]
+    out = out.reshape(n_roi, s, r, s, r, c)
+    return jnp.mean(out, axis=(2, 4))
+
+
+def _ml_bwd_features(g, boxes, batch_idx, shapes, dtype, output_size,
+                     strides, sampling_ratio, cbs, cl):
+    """Exact transpose of the window/separable forward w.r.t. features."""
+    s, r = output_size, sampling_ratio
+    n = s * r
+    dims = tuple((sh[1], sh[2]) for sh in shapes)
+    b, c = shapes[0][0], shapes[0][-1]
+    wy, wx, idx, prep, total = _ml_geometry(
+        boxes, batch_idx, dims, strides, s, r, cbs, cl,
+    )
+    n_roi = boxes.shape[0]
+    # cotangent at the sample grid: pooling was a mean over r*r samples
+    g = g.astype(jnp.float32)
+    gs = jnp.repeat(jnp.repeat(g, r, axis=1), r, axis=2) / float(r * r)
+
+    k = _BWD_CHUNK
+    r_pad = ((n_roi + k - 1) // k) * k
+    pad = r_pad - n_roi
+
+    def padr(x):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+    wy_c = padr(wy).reshape(-1, k, n, WIN)
+    wx_c = padr(wx).reshape(-1, k, n, WIN)
+    gs_c = padr(gs).reshape(-1, k, n, n, c)     # zero pad => zero contribution
+    idx_c = padr(idx).reshape(-1, k, WIN, WIN)
+
+    def body(df, args):
+        wyk, wxk, gsk, idxk = args
+        tmp = jnp.einsum("kni,knmc->kimc", wyk, gsk)
+        gwin = jnp.einsum("kmj,kimc->kijc", wxk, tmp)   # (k, WIN, WIN, C)
+        df = df.at[idxk.reshape(-1)].add(gwin.reshape(-1, c))
+        return df, None
+
+    df = jnp.zeros((b * total, c), jnp.float32)
+    df, _ = jax.lax.scan(body, df, (wy_c, wx_c, gs_c, idx_c))
+
+    # unflatten the padded pyramid, crop to true dims, restore dtype
+    grads = []
+    off = 0
+    for (h, w), (ph, pw) in zip(dims, prep["pdims"]):
+        seg = df.reshape(b, total, c)[:, off:off + ph * pw]
+        grads.append(seg.reshape(b, ph, pw, c)[:, :h, :w].astype(dtype))
+        off += ph * pw
+    return grads
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _train_pooler(features, boxes, batch_idx, output_size, strides,
+                  sampling_ratio, cbs, cl, shapes, dtype):
+    return multilevel_roi_align_pallas(
+        features, boxes, batch_idx, output_size, strides,
+        sampling_ratio=sampling_ratio, canonical_box_size=cbs,
+        canonical_level=cl,
+    )
+
+
+def _train_pooler_fwd(features, boxes, batch_idx, output_size, strides,
+                      sampling_ratio, cbs, cl, shapes, dtype):
+    out = _train_pooler(features, boxes, batch_idx, output_size, strides,
+                        sampling_ratio, cbs, cl, shapes, dtype)
+    return out, (boxes, batch_idx)
+
+
+def _train_pooler_bwd(output_size, strides, sampling_ratio, cbs, cl,
+                      shapes, dtype, res, g):
+    boxes, batch_idx = res
+    dfeat = _ml_bwd_features(
+        g, boxes, batch_idx, shapes, dtype, output_size, strides,
+        sampling_ratio, cbs, cl,
+    )
+    dboxes = jnp.zeros_like(boxes)   # boxes are non-differentiable (ref: proposals detached)
+    dbidx = np.zeros(batch_idx.shape, jax.dtypes.float0)
+    return (dfeat, dboxes, dbidx)
+
+
+_train_pooler.defvjp(_train_pooler_fwd, _train_pooler_bwd)
+
+
+def multilevel_roi_align_train(
+    features, boxes, batch_idx, output_size, strides,
+    sampling_ratio: int = 2, canonical_box_size: float = 224.0,
+    canonical_level: int = 4,
+) -> jnp.ndarray:
+    """Differentiable Pallas pooler for training: kernel forward, exact
+    hand-derived transpose backward (no forward residuals needed — the map
+    is linear in the features for fixed boxes)."""
+    if sampling_ratio <= 0:
+        sampling_ratio = 2
+    shapes = tuple(tuple(f.shape) for f in features)
+    return _train_pooler(
+        list(features), boxes, batch_idx, output_size, tuple(strides),
+        sampling_ratio, canonical_box_size, canonical_level,
+        shapes, features[0].dtype,
+    )
