@@ -1,0 +1,120 @@
+"""Stage-wise timing of the PanopticFPN inference path on the real chip.
+
+Times successively larger prefixes of the model to locate the bottleneck:
+backbone -> +semseg -> +RPN -> +ROI boxes+masks -> +fusion (full).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _ensure_tpu_or_reexec(max_tries: int = 6, wait_s: int = 60) -> None:
+    """Same recovery as bench.py: the axon tunnel admits one client; a failed
+    registration is only retryable in a FRESH process."""
+    import os
+    import sys
+    import time
+
+    import jax
+
+    try:
+        jax.devices()
+        return
+    except RuntimeError as e:
+        tries = int(os.environ.get("U2SEG_BENCH_TRIES", "0"))
+        if tries >= max_tries or "axon" not in str(e):
+            raise
+        sys.stderr.write(f"TPU unavailable; retry {tries + 1}/{max_tries}\n")
+        time.sleep(wait_s)
+        os.environ["U2SEG_BENCH_TRIES"] = str(tries + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
+def main():
+    _ensure_tpu_or_reexec()
+    import jax
+    import jax.numpy as jnp
+
+    from u2seg_tpu.config.config import Config
+    from u2seg_tpu.models.build import build_model
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    print("devices:", jax.devices(), flush=True)
+
+    cfg = Config()
+    model = build_model(cfg)
+
+    b, h, w = 4, 800, 1344
+    rng = np.random.RandomState(0)
+    images = jnp.array(rng.rand(b, h, w, 3).astype(np.float32) * 255)
+    sizes = jnp.array([[h, w]] * b, dtype=jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, images[:1], sizes[:1], train=False
+    )
+
+    def sync(o):
+        return np.asarray(jax.tree_util.tree_leaves(o)[0]).sum()
+
+    def timeit(name, fn, *args, iters=10):
+        out = fn(*args)
+        sync(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        sync(out)
+        dt = (time.perf_counter() - t0) / iters
+        print(f"{name:28s} {dt*1000:8.2f} ms/batch  {b/dt:7.1f} img/s", flush=True)
+        return dt
+
+    m = model
+
+    @jax.jit
+    def f_backbone(v, x):
+        xx = m.bind(v).normalize(x)
+        return m.bind(v).backbone(xx, train=False)
+
+    @jax.jit
+    def f_semseg(v, x):
+        mm = m.bind(v)
+        feats = mm.backbone(mm.normalize(x), train=False)
+        logits, _ = mm.sem_seg_head(feats, None, train=False)
+        return logits
+
+    @jax.jit
+    def f_rpn(v, x, s):
+        mm = m.bind(v)
+        feats = mm.backbone(mm.normalize(x), train=False)
+        out = mm.proposal_generator(feats, s, train=False)
+        return out.proposal_boxes
+
+    @jax.jit
+    def f_roi(v, x, s):
+        mm = m.bind(v)
+        feats = mm.backbone(mm.normalize(x), train=False)
+        rpn_out = mm.proposal_generator(feats, s, train=False)
+        det = mm.roi_heads(
+            feats, rpn_out.proposal_boxes, rpn_out.proposal_scores,
+            rpn_out.proposal_valid, s, train=False)
+        return det.boxes, det.scores
+
+    @jax.jit
+    def f_full(v, x, s):
+        out = m.apply(v, x, s, train=False, combine=True)
+        return out.detections.boxes, out.detections.scores, out.panoptic
+
+    timeit("backbone(R50+FPN)", f_backbone, variables, images)
+    timeit("+semseg head", f_semseg, variables, images)
+    timeit("+RPN (topk+NMS)", f_rpn, variables, images, sizes)
+    timeit("+ROI heads (casc+mask)", f_roi, variables, images, sizes)
+    timeit("full (+fusion)", f_full, variables, images, sizes)
+
+
+if __name__ == "__main__":
+    main()

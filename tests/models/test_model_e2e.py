@@ -136,3 +136,72 @@ def test_fusion_semantics():
     assert sv[k + 3] and not sv[k + 1]              # only stuff label 3
     # instance category recorded correctly
     assert int(np.asarray(cat)[0][0]) == 2
+
+
+def test_fusion_fixpoint_matches_sequential_greedy():
+    """The fixpoint formulation of combine_semantic_and_instance must equal
+    the literal sequential greedy of the reference (panoptic_fpn.py:184-269),
+    including drop-chain cases (an instance dropped for overlap frees its
+    pixels for later instances)."""
+    from u2seg_tpu.ops.mask_paste import paste_masks
+
+    rng = np.random.RandomState(7)
+    k, h4, w4, stuff = 24, 32, 48, 6
+    stride = 4
+    conf, ovl, area_lim = 0.5, 0.5, 64
+
+    for trial in range(5):
+        # heavily overlapping boxes to exercise drop chains
+        cx = rng.rand(k) * w4 * stride
+        cy = rng.rand(k) * h4 * stride
+        s = rng.rand(k) * 60 + 12
+        boxes = np.stack([cx - s, cy - s, cx + s, cy + s], -1).astype(np.float32)
+        scores = rng.rand(k).astype(np.float32)
+        classes = rng.randint(0, 5, k).astype(np.int32)
+        valid = rng.rand(k) > 0.1
+        mask_logits = (rng.randn(k, 28, 28) * 2 + 1.0).astype(np.float32)
+        sem = rng.randn(1, h4, w4, stuff).astype(np.float32) * 2
+        sizes = np.array([[h4 * stride, w4 * stride]], np.int32)
+
+        det = Detections(
+            boxes=jnp.array(boxes[None]), scores=jnp.array(scores[None]),
+            classes=jnp.array(classes[None]), valid=jnp.array(valid[None]),
+            mask_logits=jnp.array(mask_logits[None]),
+        )
+        pan, cat, isth, sscore, seg_valid, inst = combine_semantic_and_instance(
+            det, jnp.array(sem), jnp.array(sizes),
+            instance_conf_thresh=conf, overlap_thresh=ovl,
+            stuff_area_limit=area_lim,
+        )
+        pan = np.asarray(pan)[0]
+        seg_valid = np.asarray(seg_valid)[0]
+
+        # ---- literal sequential greedy reference ----
+        ordr = np.argsort(-np.where(valid, scores, -np.inf))
+        masks = np.asarray(paste_masks(
+            jax.nn.sigmoid(jnp.array(mask_logits[ordr])),
+            jnp.array(boxes[ordr]) / stride, h4, w4)) > 0.5
+        claimed = np.zeros((h4, w4), bool)
+        ref_pan = np.zeros((h4, w4), np.int32)
+        ref_takes = np.zeros(k, bool)
+        for i in range(k):
+            m = masks[i]
+            area = m.sum()
+            inter = (m & claimed).sum()
+            take = (valid[ordr][i] and scores[ordr][i] >= conf and area > 0
+                    and inter / max(area, 1) <= ovl)
+            if take:
+                paint = m & ~claimed
+                ref_pan[paint] = i + 1
+                claimed |= paint
+                ref_takes[i] = True
+        sem_lab = sem[0].argmax(-1)
+        stuff_mask = ~claimed & (sem_lab > 0)
+        for lab in range(1, stuff):
+            lm = stuff_mask & (sem_lab == lab)
+            if lm.sum() * stride * stride >= area_lim:
+                ref_pan[lm] = k + 1 + lab
+
+        np.testing.assert_array_equal(pan, ref_pan, err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(seg_valid[:k], ref_takes,
+                                      err_msg=f"trial {trial} takes")

@@ -26,12 +26,13 @@ def _corners(boxes: np.ndarray) -> np.ndarray:
     cx, cy, w, h, a = [boxes[:, i] for i in range(5)]
     t = np.deg2rad(a)
     c, s = np.cos(t), np.sin(t)
-    # box-frame corners (±w/2, ±h/2) rotated by theta (y axis points down,
-    # matching ROIAlignRotated/pairwise_iou_rotated conventions)
+    # reference convention (csrc/box_iou_rotated/box_iou_rotated_utils.h:59-75
+    # get_rotated_vertices): p = center + [[c, s], [-s, c]] @ (dx, dy) —
+    # same as structures.rotated_boxes.corners
     dx = np.stack([-w / 2, w / 2, w / 2, -w / 2], 1)
     dy = np.stack([-h / 2, -h / 2, h / 2, h / 2], 1)
-    x = cx[:, None] + dx * c[:, None] - dy * s[:, None]
-    y = cy[:, None] + dx * s[:, None] + dy * c[:, None]
+    x = cx[:, None] + dx * c[:, None] + dy * s[:, None]
+    y = cy[:, None] - dx * s[:, None] + dy * c[:, None]
     return np.stack([x, y], axis=-1)
 
 

@@ -159,28 +159,41 @@ def combine_semantic_and_instance(
         ) > 0.5  # (K, h, w) bool, sorted by score
         masks_full = masks_full & inside
 
-        def body(claimed, inp):
-            mask, score, is_valid = inp
-            area = jnp.sum(mask)
-            inter = jnp.sum(mask & claimed)
-            take = (
-                is_valid
-                & (score >= instance_conf_thresh)
-                & (area > 0)
-                & (inter / jnp.maximum(area, 1) <= overlap_thresh)
-            )
-            paint = mask & (~claimed) & take
-            return claimed | paint, (paint, take)
+        # Greedy paste as a FIXPOINT instead of a K-step scan (same trick as
+        # ops/nms.py). Greedy semantics: take(i) depends only on take(j<i)
+        # through claimed_before_i = union of masks of taken j<i, so
+        #   inter(i) = #{p : mask_i(p) and min_taken_coverer(p) < i}.
+        # Iterating take <- F(take) from "all eligible" converges to the
+        # unique fixpoint == the sequential greedy result (after t rounds the
+        # first t entries are final); the while_loop exits at the drop-chain
+        # depth (2-3 in practice) instead of K serial steps.
+        area = jnp.sum(masks_full, axis=(1, 2))               # (K,) int32
+        sscores = scores[ordr]
+        svalid = valid[ordr]
+        eligible = (
+            svalid & (sscores >= instance_conf_thresh) & (area > 0)
+        )
+        idx3 = jnp.arange(k, dtype=jnp.int32)[:, None, None]  # (K,1,1)
 
-        claimed0 = jnp.zeros((h, w), bool)
-        claimed, (paints, takes) = jax.lax.scan(
-            body, claimed0, (masks_full, scores[ordr], valid[ordr])
+        def winner_map(take):
+            # per-pixel index of the earliest (highest-score) taken coverer
+            cov = masks_full & take[:, None, None]
+            return jnp.min(jnp.where(cov, idx3, k), axis=0)   # (h,w) int32
+
+        def fix_body(state):
+            take, _ = state
+            wm = winner_map(take)
+            inter = jnp.sum(masks_full & (wm[None] < idx3), axis=(1, 2))
+            new = eligible & (inter / jnp.maximum(area, 1) <= overlap_thresh)
+            return new, jnp.any(new != take)
+
+        takes, _ = jax.lax.while_loop(
+            lambda s: s[1], fix_body, (eligible, jnp.asarray(True))
         )
+        wm = winner_map(takes)
+        claimed = wm < k
         # panoptic ids for instances: sorted slot i -> id i+1
-        inst_id_map = jnp.sum(
-            paints * (jnp.arange(1, k + 1, dtype=jnp.int32))[:, None, None],
-            axis=0,
-        )
+        inst_id_map = jnp.where(claimed, wm + 1, 0).astype(jnp.int32)
 
         # stuff: semantic labels > 0, unclaimed, area >= limit
         stuff_mask = (~claimed) & (sem_lab > 0) & inside

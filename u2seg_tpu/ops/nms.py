@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from u2seg_tpu.structures import boxes as box_ops
 
-NMS_TILE = 128
+NMS_TILE = 256  # 2048-candidate sweep on v5e: 256 is ~1.8x faster than 128
 
 
 def _pad_to_multiple(x: jnp.ndarray, multiple: int, axis: int, value):

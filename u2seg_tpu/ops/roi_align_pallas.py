@@ -200,29 +200,48 @@ def _ml_kernel(
     num_levels: int,
     level_dims: tuple,  # static ((H_l, W_l), ...) true (pre-pad) dims
 ):
-    out_ref = refs[num_levels]           # (G, n, n, C) block
-    win_ref = refs[num_levels + 1]       # (G, WIN, WIN, C) scratch
-    sems = refs[num_levels + 2]          # (G,) DMA semaphores
+    out_ref = refs[num_levels]           # (G, s, s, C) block
+    win_ref = refs[num_levels + 1]       # (2, G, WIN, WIN, C) scratch
+    sems = refs[num_levels + 2]          # (2, G) DMA semaphores
 
     step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
     g = ROIS_PER_STEP
-    base = step * g
 
-    # launch all window DMAs for this step's ROIs (they overlap)
-    for j in range(g):
-        roi = base + j
-        oy = oy_ref[roi]
-        ox = pl.multiple_of(ox_ref[roi], 8)
-        b = batch_ref[roi]
-        lvl = lvl_ref[roi]
-        for k in range(num_levels):
-            @pl.when(lvl == k)
-            def _(k=k, j=j, b=b, oy=oy, ox=ox):
-                pltpu.make_async_copy(
-                    refs[k].at[b, pl.ds(oy, WIN), pl.ds(ox, WIN), :],
-                    win_ref.at[j],
-                    sems.at[j],
-                ).start()
+    def launch_group(grp, slot):
+        # start all window DMAs of group `grp` into buffer `slot` (static)
+        for j in range(g):
+            roi = grp * g + j
+            oy = oy_ref[roi]
+            ox = pl.multiple_of(ox_ref[roi], 8)
+            b = batch_ref[roi]
+            lvl = lvl_ref[roi]
+            for k in range(num_levels):
+                @pl.when(lvl == k)
+                def _(k=k, j=j, b=b, oy=oy, ox=ox, slot=slot):
+                    pltpu.make_async_copy(
+                        refs[k].at[b, pl.ds(oy, WIN), pl.ds(ox, WIN), :],
+                        win_ref.at[slot, j],
+                        sems.at[slot, j],
+                    ).start()
+
+    # Double buffering: group i's windows start at step i-1 (group 0 at
+    # warmup), so the DMAs of step+1 overlap this step's matmuls. Buffer
+    # slots are STATIC (chosen by step-parity pl.when branches) — dynamic
+    # semaphore indexing miscompiles on the TPU backend.
+    parity = step % 2 == 0
+
+    @pl.when(step == 0)
+    def _():
+        launch_group(0, 0)
+
+    @pl.when((step + 1 < nsteps) & parity)
+    def _():
+        launch_group(step + 1, 1)
+
+    @pl.when((step + 1 < nsteps) & jnp.logical_not(parity))
+    def _():
+        launch_group(step + 1, 0)
 
     n = s * r
     idx_i = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
@@ -230,7 +249,10 @@ def _ml_kernel(
     sub = ((idx_i % r).astype(jnp.float32) + 0.5) / r
     rel = (offs + sub)[:, 0]
 
-    def axis_weights(coords, size, origin):
+    def axis_weights_pooled(coords, size, origin):
+        """(s, WIN) separable weights with the r-sample mean pool FOLDED in
+        (the pool is linear, so averaging the r per-bin sample weights along
+        each axis equals averaging the r*r interpolated samples)."""
         inside = (coords >= -1.0) & (coords <= size)
         cc = jnp.clip(coords, 0.0, size - 1.0)
         # clamp into the window so rare overflowing samples take the edge
@@ -240,44 +262,55 @@ def _ml_kernel(
             jnp.float32
         )
         wgt = jnp.maximum(0.0, 1.0 - jnp.abs(local[:, None] - cells))
-        return wgt * inside[:, None]
+        wgt = wgt * inside[:, None]
+        return wgt.reshape(s, r, WIN).sum(axis=1) * (1.0 / r)
 
-    for j in range(g):
-        roi = base + j
-        lvl = lvl_ref[roi]
-        y0 = y0_ref[roi]
-        x0 = x0_ref[roi]
-        bin_h = binh_ref[roi]
-        bin_w = binw_ref[roi]
-        h = jnp.float32(level_dims[0][0])
-        w = jnp.float32(level_dims[0][1])
-        for k in range(1, num_levels):
-            h = jnp.where(lvl == k, jnp.float32(level_dims[k][0]), h)
-            w = jnp.where(lvl == k, jnp.float32(level_dims[k][1]), w)
+    def compute_group(slot):
+        for j in range(g):
+            roi = step * g + j
+            lvl = lvl_ref[roi]
+            y0 = y0_ref[roi]
+            x0 = x0_ref[roi]
+            bin_h = binh_ref[roi]
+            bin_w = binw_ref[roi]
+            h = jnp.float32(level_dims[0][0])
+            w = jnp.float32(level_dims[0][1])
+            for k in range(1, num_levels):
+                h = jnp.where(lvl == k, jnp.float32(level_dims[k][0]), h)
+                w = jnp.where(lvl == k, jnp.float32(level_dims[k][1]), w)
 
-        ys = y0 + rel * bin_h
-        xs = x0 + rel * bin_w
-        wy = axis_weights(ys, h, oy_ref[roi])
-        wx = axis_weights(xs, w, pl.multiple_of(ox_ref[roi], 8))
+            ys = y0 + rel * bin_h
+            xs = x0 + rel * bin_w
+            wy = axis_weights_pooled(ys, h, oy_ref[roi])   # (s, WIN)
+            wx = axis_weights_pooled(xs, w, pl.multiple_of(ox_ref[roi], 8))
 
-        # wait only for this ROI's window, keeping later DMAs in flight
-        pltpu.make_async_copy(
-            refs[0].at[0, pl.ds(0, WIN), pl.ds(0, WIN), :], win_ref.at[j],
-            sems.at[j],
-        ).wait()
-        window = win_ref[j].astype(jnp.float32)
-        c = window.shape[-1]
-        tmp = jax.lax.dot_general(
-            wy, window.reshape(WIN, WIN * c),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(n, WIN, c)
-        out = jax.lax.dot_general(
-            wx, tmp,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).transpose(1, 0, 2)
-        out_ref[j] = out
+            # wait only for this ROI's window, keeping later DMAs in flight
+            pltpu.make_async_copy(
+                refs[0].at[0, pl.ds(0, WIN), pl.ds(0, WIN), :],
+                win_ref.at[slot, j],
+                sems.at[slot, j],
+            ).wait()
+            window = win_ref[slot, j].astype(jnp.float32)
+            c = window.shape[-1]
+            tmp = jax.lax.dot_general(
+                wy, window.reshape(WIN, WIN * c),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(s, WIN, c)
+            out = jax.lax.dot_general(
+                wx, tmp,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).transpose(1, 0, 2)                           # (s_y, s_x, C)
+            out_ref[j] = out
+
+    @pl.when(parity)
+    def _():
+        compute_group(0)
+
+    @pl.when(jnp.logical_not(parity))
+    def _():
+        compute_group(1)
 
 
 def _padded_dims(dims) -> Tuple[Tuple[int, int], ...]:
@@ -406,26 +439,25 @@ def multilevel_roi_align_pallas(
         grid=(r_pad // gsz,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * num_levels,
         out_specs=pl.BlockSpec(
-            (gsz, n, n, c), lambda i, *_: (i, 0, 0, 0),
+            (gsz, s, s, c), lambda i, *_: (i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((gsz, WIN, WIN, c), features[0].dtype),
-            pltpu.SemaphoreType.DMA((gsz,)),
+            pltpu.VMEM((2, gsz, WIN, WIN, c), features[0].dtype),
+            pltpu.SemaphoreType.DMA((2, gsz)),
         ],
     )
     kernel = functools.partial(
         _ml_kernel, s=s, r=r, num_levels=num_levels,
         level_dims=tuple((int(d[0]), int(d[1])) for d in dims),
     )
-    samples = pl.pallas_call(
+    pooled = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((r_pad, n, n, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r_pad, s, s, c), jnp.float32),
         grid_spec=grid_spec,
     )(oy_p, ox_p, b_p, lvl_p, y0_p, x0_p, binh_p, binw_p, *padded)
 
-    samples = samples[:n_roi].reshape(n_roi, s, r, s, r, c)
-    return jnp.mean(samples, axis=(2, 4))
+    return pooled[:n_roi]
 
 
 # ---------------------------------------------------------------------------

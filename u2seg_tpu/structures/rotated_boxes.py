@@ -28,8 +28,9 @@ def corners(boxes: jnp.ndarray) -> jnp.ndarray:
     # local corners
     lx = jnp.stack([-w, w, w, -w], -1) * 0.5
     ly = jnp.stack([-h, -h, h, h], -1) * 0.5
-    # note: image-space y grows downward; reference rotates CCW in math
-    # coordinates, i.e. (x cos + y sin, -x sin + y cos) in pixel coords
+    # reference convention (csrc/box_iou_rotated/box_iou_rotated_utils.h:59-75
+    # get_rotated_vertices): p = center + [[c, s], [-s, c]] @ (lx, ly) —
+    # angle CCW in image coords where y grows downward
     px = lx * cos[..., None] + ly * sin[..., None] + cx[..., None]
     py = -lx * sin[..., None] + ly * cos[..., None] + cy[..., None]
     return jnp.stack([px, py], axis=-1)
