@@ -171,33 +171,52 @@ class RPN(nn.Module):
         c = self.cfg
         b = logits[0].shape[0]
 
+        kmax = max(min(topk, anc.shape[0]) for anc in anchors)
         lvl_boxes, lvl_scores = [], []
         for anc, logit, delta in zip(anchors, logits, deltas):
             n_l = anc.shape[0]
             k = min(topk, n_l)
-            score, idx = jax.lax.top_k(logit, k)                  # (B, k)
+            # pre-NMS ranking: approx_max_k on the big fine levels (P2 has
+            # ~200k anchors; exact top_k there costs ~ms while a 1% recall
+            # miss only swaps candidates far below the NMS cut)
+            if n_l > 4 * k:
+                score, idx = jax.lax.approx_max_k(logit, k, recall_target=0.99)
+            else:
+                score, idx = jax.lax.top_k(logit, k)              # (B, k)
             sel_delta = jnp.take_along_axis(delta, idx[..., None], axis=1)
             sel_anc = anc[idx]                                    # (B, k, 4)
             box = box_ops.apply_deltas(sel_delta, sel_anc, c.bbox_reg_weights)
+            if k < kmax:
+                box = jnp.pad(box, ((0, 0), (0, kmax - k), (0, 0)))
+                score = jnp.pad(score, ((0, 0), (0, kmax - k)),
+                                constant_values=-jnp.inf)
             lvl_boxes.append(box)
             lvl_scores.append(score)
 
-        def per_image(boxes_l: List[jnp.ndarray], scores_l: List[jnp.ndarray], hw):
-            kept_b, kept_s = [], []
-            for box, score in zip(boxes_l, scores_l):
-                box = box_ops.clip(box, hw)
-                ok = box_ops.nonempty(box, threshold=c.min_size)
-                score = jnp.where(ok, score, -jnp.inf)
-                cap = min(post, box.shape[0])
-                kidx, kvalid = nms(box, score, c.nms_thresh, cap)
-                kept_b.append(jnp.where(kvalid[:, None], box[kidx], 0.0))
-                kept_s.append(jnp.where(kvalid, score[kidx], -jnp.inf))
-            all_b = jnp.concatenate(kept_b, axis=0)
-            all_s = jnp.concatenate(kept_s, axis=0)
-            fs, fi = jax.lax.top_k(all_s, post)
-            return all_b[fi], fs
+        # one NMS over the (level, image) grid: boxes of different levels
+        # never suppress each other (ref proposal_utils batched_nms on level
+        # ids), so stacking levels into the vmap batch pays the serial
+        # suppression depth once instead of once per level
+        nlvl = len(lvl_boxes)
+        cap = min(post, kmax)
+        stk_b = jnp.stack(lvl_boxes)                  # (L, B, kmax, 4)
+        stk_s = jnp.stack(lvl_scores)                 # (L, B, kmax)
+        hw_l = jnp.broadcast_to(image_sizes, (nlvl,) + image_sizes.shape)
 
-        boxes, scores = jax.vmap(per_image)(lvl_boxes, lvl_scores, image_sizes)
+        def sel_one(box, score, hw):
+            box = box_ops.clip(box, hw)
+            ok = box_ops.nonempty(box, threshold=c.min_size)
+            score = jnp.where(ok, score, -jnp.inf)
+            kidx, kvalid = nms(box, score, c.nms_thresh, cap)
+            return (jnp.where(kvalid[:, None], box[kidx], 0.0),
+                    jnp.where(kvalid, score[kidx], -jnp.inf))
+
+        kept_b, kept_s = jax.vmap(jax.vmap(sel_one))(stk_b, stk_s, hw_l)
+        all_b = kept_b.transpose(1, 0, 2, 3).reshape(b, nlvl * cap, 4)
+        all_s = kept_s.transpose(1, 0, 2).reshape(b, nlvl * cap)
+        fs, fi = jax.lax.top_k(all_s, post)
+        boxes = jnp.take_along_axis(all_b, fi[..., None], axis=1)
+        scores = fs
         valid = scores > -jnp.inf
         boxes = jnp.where(valid[..., None], boxes, 0.0)
         return boxes, scores, valid
