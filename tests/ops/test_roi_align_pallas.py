@@ -127,3 +127,20 @@ def test_train_pooler_grad_matches_autodiff(rng):
     for gt, gr in zip(g_train, g_ref):
         np.testing.assert_allclose(np.asarray(gt), np.asarray(gr),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_ml_bf16_features_within_amp_tolerance(rng):
+    """On bf16 features (the production compute dtype) matmul1 runs in
+    native bf16 (f32 accumulate) — the reference pools under fp16
+    autocast, so the kernel must stay within AMP-level error of the f32
+    reference."""
+    from u2seg_tpu.ops.roi_align import multilevel_roi_align
+    from u2seg_tpu.ops.roi_align_pallas import multilevel_roi_align_pallas
+
+    feats, boxes, bidx, strides = _ml_setup(rng)
+    ref = multilevel_roi_align(feats, boxes, bidx, 7, strides, 2)
+    got = multilevel_roi_align_pallas(
+        [f.astype(jnp.bfloat16) for f in feats], boxes, bidx, 7, strides, 2
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0.05, atol=0.03)

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -42,6 +42,7 @@ class DenseHead(nn.Module):
     with_centerness: bool = False
     norm: str = ""
     shared_levels_bn: bool = False
+    dtype: Any = None  # activation dtype for tower norms (None = f32)
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray], train: bool = False):
@@ -73,7 +74,7 @@ class DenseHead(nn.Module):
                                kernel_init=init, name=f"{prefix}_conv{i}")
                 feats = [conv(f) for f in feats]
                 if self.norm:
-                    norm_mod = get_norm(self.norm, d)
+                    norm_mod = get_norm(self.norm, d, dtype=self.dtype)
                     if self.shared_levels_bn:
                         from u2seg_tpu.projects.rethinking_bn import (
                             shared_levels_norm,

@@ -59,7 +59,7 @@ class FPN(nn.Module):
                 dtype=self.dtype,
             )(bottom_up[name])
             lateral = _apply_norm(
-                get_norm(c.norm, c.out_channels), lateral, train
+                get_norm(c.norm, c.out_channels, dtype=self.dtype), lateral, train
             )
             if prev is not None:
                 lateral = lateral + _upsample2x(prev)
@@ -71,7 +71,7 @@ class FPN(nn.Module):
                 use_bias=use_bias, kernel_init=_xavier_init,
                 name=f"output_{name}", dtype=self.dtype,
             )(lateral)
-            out = _apply_norm(get_norm(c.norm, c.out_channels), out, train)
+            out = _apply_norm(get_norm(c.norm, c.out_channels, dtype=self.dtype), out, train)
             results.insert(0, out)
 
         out_dict = {

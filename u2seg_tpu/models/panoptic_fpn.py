@@ -202,7 +202,13 @@ def combine_semantic_and_instance(
         areas = jnp.sum(onehot * stuff_mask[..., None].astype(jnp.int32), axis=(0, 1))
         areas = areas * area_scale
         stuff_ok = areas >= stuff_area_limit  # (num_stuff,)
-        lab_ok = stuff_ok[sem_lab] & stuff_mask
+        # per-pixel lookup stuff_ok[sem_lab] via the existing one-hot (a
+        # 268800-point scalar gather costs ~2.8 ms on TPU; the contraction
+        # is exact on 0/1 values and fuses away)
+        lab_ok = (
+            jnp.sum(onehot * stuff_ok[None, None].astype(jnp.int32), axis=-1)
+            > 0
+        ) & stuff_mask
         stuff_id_map = jnp.where(lab_ok, k + 1 + sem_lab, 0)
 
         pan = inst_id_map + stuff_id_map

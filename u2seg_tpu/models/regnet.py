@@ -47,22 +47,22 @@ class _Block(nn.Module):
         groups = max(w_b // self.group_width, 1)
         out = nn.Conv(w_b, (1, 1), use_bias=False, kernel_init=_conv_init,
                       dtype=self.dtype, name="a")(x)
-        out = _apply_norm(get_norm(self.norm, w_b), out, train)
+        out = _apply_norm(get_norm(self.norm, w_b, dtype=self.dtype), out, train)
         out = nn.relu(out)
         out = nn.Conv(w_b, (3, 3), strides=self.stride,
                       padding=[(1, 1), (1, 1)], feature_group_count=groups,
                       use_bias=False, kernel_init=_conv_init,
                       dtype=self.dtype, name="b")(out)
-        out = _apply_norm(get_norm(self.norm, w_b), out, train)
+        out = _apply_norm(get_norm(self.norm, w_b, dtype=self.dtype), out, train)
         out = nn.relu(out)
         out = nn.Conv(self.width, (1, 1), use_bias=False,
                       kernel_init=_conv_init, dtype=self.dtype, name="c")(out)
-        out = _apply_norm(get_norm(self.norm, self.width), out, train)
+        out = _apply_norm(get_norm(self.norm, self.width, dtype=self.dtype), out, train)
         if x.shape[-1] != self.width or self.stride != 1:
             sc = nn.Conv(self.width, (1, 1), strides=self.stride,
                          use_bias=False, kernel_init=_conv_init,
                          dtype=self.dtype, name="proj")(x)
-            sc = _apply_norm(get_norm(self.norm, self.width), sc, train)
+            sc = _apply_norm(get_norm(self.norm, self.width, dtype=self.dtype), sc, train)
         else:
             sc = x
         return nn.relu(out + sc)
@@ -94,7 +94,7 @@ class RegNet(nn.Module):
         x = nn.Conv(self.stem_width, (3, 3), strides=2,
                     padding=[(1, 1), (1, 1)], use_bias=False,
                     kernel_init=_conv_init, dtype=self.dtype, name="stem")(x)
-        x = _apply_norm(get_norm(self.norm, self.stem_width), x, train)
+        x = _apply_norm(get_norm(self.norm, self.stem_width, dtype=self.dtype), x, train)
         x = nn.relu(x)
         out: Dict[str, jnp.ndarray] = {}
         for stage, (w, d) in enumerate(zip(widths, depths)):

@@ -31,8 +31,8 @@ STAGE_BLOCKS = {
 _conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
-def _norm(norm_name: str, features: int):
-    return get_norm(norm_name, features)
+def _norm(norm_name: str, features: int, dtype=None):
+    return get_norm(norm_name, features, dtype=dtype)
 
 
 class BasicStem(nn.Module):
@@ -49,7 +49,7 @@ class BasicStem(nn.Module):
             use_bias=False, kernel_init=_conv_init, name="conv1",
             dtype=self.dtype,
         )(x)
-        x = _apply_norm(_norm(self.norm, self.out_channels), x, train, name_scope=self)
+        x = _apply_norm(_norm(self.norm, self.out_channels, self.dtype), x, train, name_scope=self)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         return x
@@ -83,7 +83,7 @@ class BottleneckBlock(nn.Module):
             self.bottleneck_channels, (1, 1), strides=s1, use_bias=False,
             kernel_init=_conv_init, name="conv1", dtype=self.dtype,
         )(x)
-        out = _apply_norm(_norm(self.norm, self.bottleneck_channels), out, train)
+        out = _apply_norm(_norm(self.norm, self.bottleneck_channels, self.dtype), out, train)
         out = nn.relu(out)
 
         pad = self.dilation
@@ -93,21 +93,21 @@ class BottleneckBlock(nn.Module):
             use_bias=False, kernel_init=_conv_init, name="conv2",
             dtype=self.dtype,
         )(out)
-        out = _apply_norm(_norm(self.norm, self.bottleneck_channels), out, train)
+        out = _apply_norm(_norm(self.norm, self.bottleneck_channels, self.dtype), out, train)
         out = nn.relu(out)
 
         out = nn.Conv(
             self.out_channels, (1, 1), use_bias=False,
             kernel_init=_conv_init, name="conv3", dtype=self.dtype,
         )(out)
-        out = _apply_norm(_norm(self.norm, self.out_channels), out, train)
+        out = _apply_norm(_norm(self.norm, self.out_channels, self.dtype), out, train)
 
         if in_channels != self.out_channels or self.stride != 1:
             shortcut = nn.Conv(
                 self.out_channels, (1, 1), strides=self.stride, use_bias=False,
                 kernel_init=_conv_init, name="shortcut", dtype=self.dtype,
             )(x)
-            shortcut = _apply_norm(_norm(self.norm, self.out_channels), shortcut, train)
+            shortcut = _apply_norm(_norm(self.norm, self.out_channels, self.dtype), shortcut, train)
         else:
             shortcut = x
         return nn.relu(out + shortcut)

@@ -81,7 +81,7 @@ class FastRCNNConvFCHead(nn.Module):
                 kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
                 dtype=self.dtype, name=f"conv{i + 1}",
             )(x)
-            norm_mod = get_norm(self.norm, self.conv_dim)
+            norm_mod = get_norm(self.norm, self.conv_dim, dtype=self.dtype)
             if norm_mod is not None:
                 x = norm_mod(x) if not isinstance(norm_mod, nn.BatchNorm) else norm_mod(
                     x, use_running_average=not train

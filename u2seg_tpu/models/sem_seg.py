@@ -49,7 +49,8 @@ class SemSegFPNHead(nn.Module):
                     dtype=self.dtype, name=f"{name}_conv{k}",
                 )(x)
                 if c.norm == "GN":
-                    x = nn.GroupNorm(num_groups=32, name=f"{name}_gn{k}")(x)
+                    x = nn.GroupNorm(num_groups=32, dtype=self.dtype,
+                                     name=f"{name}_gn{k}")(x)
                 x = nn.relu(x)
                 if stride != c.common_stride:
                     x = _resize_bilinear(x, x.shape[1] * 2, x.shape[2] * 2)

@@ -30,6 +30,7 @@ class DepthwiseSeparableConv(nn.Module):
     padding: int = 1
     dilation: int = 1
     norm: str = "GN"
+    dtype: Any = None  # activation dtype for norms (None = f32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -41,11 +42,11 @@ class DepthwiseSeparableConv(nn.Module):
             feature_group_count=cin, use_bias=not self.norm,
             name="depthwise",
         )(x)
-        x = _apply_norm(get_norm(self.norm, cin), x, train)
+        x = _apply_norm(get_norm(self.norm, cin, dtype=self.dtype), x, train)
         x = nn.relu(x)
         x = nn.Conv(self.features, (1, 1), use_bias=not self.norm,
                     name="pointwise")(x)
-        x = _apply_norm(get_norm(self.norm, self.features), x, train)
+        x = _apply_norm(get_norm(self.norm, self.features, dtype=self.dtype), x, train)
         return nn.relu(x)
 
 
@@ -58,19 +59,20 @@ class ASPP(nn.Module):
     norm: str = "GN"
     dropout: float = 0.0
     pool_kernel_size: Optional[Tuple[int, int]] = None  # None = global
+    dtype: Any = None  # activation dtype for norms (None = f32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         branches = []
         b1 = nn.Conv(self.features, (1, 1), use_bias=not self.norm, name="b0")(x)
-        b1 = _apply_norm(get_norm(self.norm, self.features), b1, train)
+        b1 = _apply_norm(get_norm(self.norm, self.features, dtype=self.dtype), b1, train)
         branches.append(nn.relu(b1))
         for i, d in enumerate(self.dilations):
             b = nn.Conv(
                 self.features, (3, 3), padding=[(d, d), (d, d)],
                 kernel_dilation=d, use_bias=not self.norm, name=f"b{i + 1}",
             )(x)
-            b = _apply_norm(get_norm(self.norm, self.features), b, train)
+            b = _apply_norm(get_norm(self.norm, self.features, dtype=self.dtype), b, train)
             branches.append(nn.relu(b))
         # image-level pooling branch
         h, w = x.shape[1:3]
@@ -89,7 +91,7 @@ class ASPP(nn.Module):
         out = jnp.concatenate(branches, axis=-1)
         out = nn.Conv(self.features, (1, 1), use_bias=not self.norm,
                       name="project")(out)
-        out = _apply_norm(get_norm(self.norm, self.features), out, train)
+        out = _apply_norm(get_norm(self.norm, self.features, dtype=self.dtype), out, train)
         out = nn.relu(out)
         if self.dropout > 0 and train:
             out = nn.Dropout(self.dropout, deterministic=not train)(out)

@@ -39,11 +39,20 @@ class FrozenBatchNorm(nn.Module):
         ).value
         scale = jax.lax.stop_gradient(scale)
         bias = jax.lax.stop_gradient(bias)
+        # fold in f32, apply in the activation dtype: keeps the affine a
+        # fusable epilogue of the producing conv instead of an f32 round trip
         mul = scale * jax.lax.rsqrt(var + self.eps)
-        return x * mul + (bias - mean * mul)
+        add = bias - mean * mul
+        return x * mul.astype(x.dtype) + add.astype(x.dtype)
 
 
-def get_norm(norm: Optional[str], features: int, *, axis_name: str = "data") -> Optional[nn.Module]:
+def get_norm(
+    norm: Optional[str],
+    features: int,
+    *,
+    axis_name: str = "data",
+    dtype: Optional[jnp.dtype] = None,
+) -> Optional[nn.Module]:
     """Norm factory mirroring ref layers/batch_norm.py:143 ``get_norm``.
 
     "BN"      -> per-replica BatchNorm (no cross-device sync)
@@ -55,15 +64,17 @@ def get_norm(norm: Optional[str], features: int, *, axis_name: str = "data") -> 
     """
     if not norm:
         return None
-    # norms always compute in float32 (AMP safety: bf16 E[x^2]-E[x]^2
-    # variance is catastrophically imprecise); callers' next conv casts back
+    # ``dtype`` is the activation/result dtype (None = promote to f32, the
+    # conservative default). Statistics are always f32: flax's
+    # _compute_stats force-promotes reductions, so bf16 outputs are safe —
+    # and keep the norm a fusable epilogue instead of an f32 HBM round trip.
     if norm == "BN":
         return nn.BatchNorm(momentum=0.9, epsilon=1e-5,
-                            use_running_average=None, dtype=jnp.float32)
+                            use_running_average=None, dtype=dtype)
     if norm in ("SyncBN", "naiveSyncBN"):
         return nn.BatchNorm(
             momentum=0.9, epsilon=1e-5, axis_name=axis_name,
-            use_running_average=None, dtype=jnp.float32,
+            use_running_average=None, dtype=dtype,
         )
     if norm == "FrozenBN":
         return FrozenBatchNorm(features)
@@ -78,7 +89,7 @@ def get_norm(norm: Optional[str], features: int, *, axis_name: str = "data") -> 
 
         groups = 32 if features % 32 == 0 else math.gcd(32, features)
         return nn.GroupNorm(num_groups=max(groups, 1), epsilon=1e-5,
-                            dtype=jnp.float32)
+                            dtype=dtype)
     if norm == "LN":
-        return nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)
+        return nn.LayerNorm(epsilon=1e-6, dtype=dtype)
     raise ValueError(f"Unknown norm: {norm}")

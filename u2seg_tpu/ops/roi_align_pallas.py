@@ -147,7 +147,8 @@ def roi_align_pallas(
     first_y = jnp.floor(y0 + bin_h * (0.5 / r)) - 1
     first_x = jnp.floor(x0 + bin_w * (0.5 / r)) - 1
     oy = jnp.clip(first_y, 0, max(h - WIN, 0)).astype(jnp.int32)
-    # x-origin aligned down to the 8-sublane HBM tiling (DMA constraint)
+    # x-origin aligned down to the 8-sublane HBM tiling (Mosaic requires
+    # provably 8-divisible dynamic W offsets for the window DMA)
     ox = jnp.clip(first_x, 0, max(w - WIN, 0)).astype(jnp.int32) // 8 * 8
     origin = jnp.stack([oy, ox], axis=1)
 
@@ -181,7 +182,13 @@ def roi_align_pallas(
 # Multilevel (FPN) variant: per-ROI level routing with predicated DMA
 # ---------------------------------------------------------------------------
 
-ROIS_PER_STEP = 4  # ROIs per grid step (VMEM: G*WIN^2*C must fit): overlaps window DMAs and
+def _rois_per_step(s: int) -> int:
+    """ROIs per grid step. Bounded by VMEM (2 double-buffered WIN^2*C
+    windows plus (g*s, WIN*C) matmul temporaries per slot) and by the g^2
+    FLOP growth of the block-diagonal matmuls — 8 is the measured sweet
+    spot for the 7x7 box pool on v5e, halved for the 14x14 mask pool whose
+    temporaries are 4x larger."""
+    return 8 if s <= 8 else 4
                    # amortizes per-step launch overhead
 
 
@@ -199,6 +206,7 @@ def _ml_kernel(
     r: int,
     num_levels: int,
     level_dims: tuple,  # static ((H_l, W_l), ...) true (pre-pad) dims
+    g: int,             # ROIs per grid step
 ):
     out_ref = refs[num_levels]           # (G, s, s, C) block
     win_ref = refs[num_levels + 1]       # (2, G, WIN, WIN, C) scratch
@@ -206,7 +214,6 @@ def _ml_kernel(
 
     step = pl.program_id(0)
     nsteps = pl.num_programs(0)
-    g = ROIS_PER_STEP
 
     def launch_group(grp, slot):
         # start all window DMAs of group `grp` into buffer `slot` (static)
@@ -266,6 +273,13 @@ def _ml_kernel(
         return wgt.reshape(s, r, WIN).sum(axis=1) * (1.0 / r)
 
     def compute_group(slot):
+        # Per-ROI (s, WIN) matmuls are pad-dominated on the MXU (M=s=7 and
+        # K=WIN=40 both round up to 128). Stack the group into ONE
+        # block-diagonal matmul pair: lhs (g*s, g*WIN) with each ROI's
+        # weights on the diagonal block, rhs the g windows stacked along
+        # the contraction axis — g x fewer MXU launches and ~g x better
+        # M/K tile occupancy for the same results.
+        wys, wxs = [], []
         for j in range(g):
             roi = step * g + j
             lvl = lvl_ref[roi]
@@ -281,28 +295,49 @@ def _ml_kernel(
 
             ys = y0 + rel * bin_h
             xs = x0 + rel * bin_w
-            wy = axis_weights_pooled(ys, h, oy_ref[roi])   # (s, WIN)
-            wx = axis_weights_pooled(xs, w, pl.multiple_of(ox_ref[roi], 8))
+            wys.append(axis_weights_pooled(ys, h, oy_ref[roi]))   # (s, WIN)
+            wxs.append(axis_weights_pooled(
+                xs, w, pl.multiple_of(ox_ref[roi], 8)))
 
-            # wait only for this ROI's window, keeping later DMAs in flight
+        # block-diagonalize: tile the stacked (g*s, WIN) weights across g
+        # column blocks and zero every off-diagonal block
+        wy_cat = jnp.concatenate(wys, axis=0)              # (g*s, WIN)
+        wx_cat = jnp.concatenate(wxs, axis=0)
+        row_blk = jax.lax.broadcasted_iota(jnp.int32, (g * s, g * WIN), 0) // s
+        col_blk = jax.lax.broadcasted_iota(jnp.int32, (g * s, g * WIN), 1) // WIN
+        on_diag = (row_blk == col_blk).astype(jnp.float32)
+        wy_blk = jnp.concatenate([wy_cat] * g, axis=1) * on_diag
+        wx_blk = jnp.concatenate([wx_cat] * g, axis=1) * on_diag
+
+        for j in range(g):
+            # wait for this group's windows (later groups' DMAs stay in flight)
             pltpu.make_async_copy(
                 refs[0].at[0, pl.ds(0, WIN), pl.ds(0, WIN), :],
                 win_ref.at[slot, j],
                 sems.at[slot, j],
             ).wait()
-            window = win_ref[slot, j].astype(jnp.float32)
-            c = window.shape[-1]
-            tmp = jax.lax.dot_general(
-                wy, window.reshape(WIN, WIN * c),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).reshape(s, WIN, c)
-            out = jax.lax.dot_general(
-                wx, tmp,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).transpose(1, 0, 2)                           # (s_y, s_x, C)
-            out_ref[j] = out
+        # matmul1 runs in the window dtype (bf16 on the bf16 compute path,
+        # f32 accumulate) — the reference pools under fp16 autocast, so
+        # bf16 interpolation weights are within the reference's own AMP
+        # precision; it also avoids materializing an f32 window copy
+        # (the VMEM cost would cap the group size)
+        window = win_ref[slot]                             # (g, WIN, WIN, C)
+        c = window.shape[-1]
+        tmp = jax.lax.dot_general(
+            wy_blk.astype(window.dtype), window.reshape(g * WIN, WIN * c),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # (g*s, WIN*C)
+        # contract x: row q*s+n1 holds tmp_q[n1, j, c]; regroup so each
+        # ROI's WIN axis lines up with its diagonal block
+        tmp = tmp.reshape(g, s, WIN, c).transpose(0, 2, 1, 3)
+        out = jax.lax.dot_general(
+            wx_blk, tmp.reshape(g * WIN, s * c),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # (g*s, s*C): [q,n2 ; n1,c]
+        out = out.reshape(g, s, s, c).transpose(0, 2, 1, 3)
+        out_ref[:] = out
 
     @pl.when(parity)
     def _():
@@ -373,7 +408,7 @@ def _ml_prep(
     first_y = jnp.floor(y0 + bin_h * (0.5 / r)) - 1
     first_x = jnp.floor(x0 + bin_w * (0.5 / r)) - 1
     oy = jnp.clip(first_y, 0, (pad_h - WIN).astype(jnp.float32)).astype(jnp.int32)
-    # align x-origin down to 8 (HBM tile); padding above keeps it in range
+    # align x-origin down to 8 (Mosaic-required for dynamic W DMA offsets)
     ox = jnp.clip(first_x, 0, (pad_w - WIN).astype(jnp.float32)).astype(jnp.int32)
     ox = ox // 8 * 8
     return dict(lvl=lvl, oy=oy, ox=ox, y0=y0, x0=x0, bin_h=bin_h,
@@ -422,7 +457,7 @@ def multilevel_roi_align_pallas(
             f = jnp.pad(f, ((0, 0), (0, dh), (0, dw), (0, 0)))
         padded.append(f)
 
-    gsz = ROIS_PER_STEP
+    gsz = _rois_per_step(s)
     r_pad = ((n_roi + gsz - 1) // gsz) * gsz
 
     def pad1(x, value=0):
@@ -449,12 +484,17 @@ def multilevel_roi_align_pallas(
     )
     kernel = functools.partial(
         _ml_kernel, s=s, r=r, num_levels=num_levels,
-        level_dims=tuple((int(d[0]), int(d[1])) for d in dims),
+        level_dims=tuple((int(d[0]), int(d[1])) for d in dims), g=gsz,
     )
     pooled = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((r_pad, s, s, c), jnp.float32),
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            # v5e VMEM is far larger than the compiler's conservative 16MB
+            # scoped default; the window buffers are the whole point here
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(oy_p, ox_p, b_p, lvl_p, y0_p, x0_p, binh_p, binw_p, *padded)
 
     return pooled[:n_roi]

@@ -65,7 +65,7 @@ class TridentBlock(nn.Module):
         conv3 = nn.Conv(self.out_channels, (1, 1), use_bias=False,
                         dtype=self.dtype, name="conv3")
         mid = [nn.relu(_apply_norm(
-            get_norm(self.norm, self.bottleneck_channels), conv1(b), train
+            get_norm(self.norm, self.bottleneck_channels, dtype=self.dtype), conv1(b), train
         )) for b in branches]
         mid = TridentConv(
             self.bottleneck_channels, self.dilations, dtype=self.dtype,
@@ -74,9 +74,9 @@ class TridentBlock(nn.Module):
         outs = []
         for i, (b, m) in enumerate(zip(branches, mid)):
             m = nn.relu(_apply_norm(
-                get_norm(self.norm, self.bottleneck_channels), m, train
+                get_norm(self.norm, self.bottleneck_channels, dtype=self.dtype), m, train
             ))
-            m = _apply_norm(get_norm(self.norm, self.out_channels),
+            m = _apply_norm(get_norm(self.norm, self.out_channels, dtype=self.dtype),
                             conv3(m), train)
             if b.shape[-1] != self.out_channels:
                 b = nn.Conv(self.out_channels, (1, 1), use_bias=False,
