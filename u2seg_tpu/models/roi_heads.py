@@ -315,44 +315,47 @@ def fast_rcnn_inference(
     candidate_topk: int = 2048,
 ) -> Detections:
     """Per-class score threshold -> top-M candidate cap -> class-aware NMS ->
-    top ``max_detections``. Candidate mining is two-stage: a per-proposal
-    top-T class cut (T=20: softmax scores sum to 1, so at most 19 classes
-    per proposal can exceed 0.05 — the cut provably contains every
-    reference candidate) followed by an exact top-M over the K*T survivors.
-    This replaces one flat top-k over K*C ~ 800k scores (~14 ms/batch on
-    v5e) with a rowwise partial reduce + a 20k top-k (~1 ms). The M=2048
-    cap is the one TPU deviation from the reference (which keeps all
-    above-threshold pairs); it comfortably exceeds what survives score 0.05
-    in practice."""
+    top ``max_detections``. Candidate mining is hierarchical: classes are
+    grouped in blocks of 32, the K*C/32 per-(roi, block) maxima are ranked
+    and the top BLOCK_KEEP pairs expanded back to their 32 scores, then one
+    exact top-M runs over the expanded set. Rowwise top-k over (K, C)
+    costs ~3-4 ms on v5e in every formulation (approx_max_k, sort-based,
+    iterative argmax); the block-max reduce + two small top-ks cost ~1 ms.
+    Mining is exact whenever at most BLOCK_KEEP blocks per image contain
+    any score > thresh (any realistic scene); the M=2048 cap is the
+    remaining TPU deviation from the reference (which keeps every
+    above-threshold pair)."""
     bsz, k, cp1 = scores.shape
     num_classes = cp1 - 1
-    per_roi_t = min(20, num_classes)
+    BLOCK = 32
+    nblocks = (num_classes + BLOCK - 1) // BLOCK
+    pad_c = nblocks * BLOCK - num_classes
+    block_keep = min(1024, k * nblocks)
 
     def per_image(box, score, valid, hw):
         cls_scores = score[:, :-1]                    # (K, C)
         cls_scores = jnp.where(valid[:, None], cls_scores, 0.0)
-        if num_classes > 2 * per_roi_t:
-            row_s, row_c = jax.lax.approx_max_k(
-                cls_scores, per_roi_t, recall_target=0.99
-            )                                          # (K, T)
-        else:
-            row_s, row_c = jax.lax.top_k(cls_scores, per_roi_t)
-        if box.shape[-1] == 4:
-            cand_boxes = jnp.broadcast_to(
-                box[:, None, :], (k, per_roi_t, 4)
-            ).reshape(-1, 4)
-        else:
-            cand_boxes = jnp.take_along_axis(
-                box.reshape(k, num_classes, 4), row_c[..., None], axis=1
-            ).reshape(-1, 4)
-        flat_scores = row_s.reshape(-1)                # (K*T,)
+        if pad_c:
+            cls_scores = jnp.pad(cls_scores, ((0, 0), (0, pad_c)))
+        blocked = cls_scores.reshape(k * nblocks, BLOCK)
+        bmax = jnp.max(blocked, axis=-1)              # (K*nblocks,)
+        _, bsel = jax.lax.top_k(bmax, block_keep)     # best (roi, block) pairs
+        sel = blocked[bsel]                           # (BK, 32)
+        sel_roi = bsel // nblocks                     # (BK,)
+        sel_cls0 = (bsel % nblocks) * BLOCK
+
+        flat_scores = sel.reshape(-1)                 # (BK*32,)
         flat_scores = jnp.where(flat_scores > score_thresh, flat_scores, -jnp.inf)
-        cls_id = row_c.reshape(-1).astype(jnp.int32)
         m = min(candidate_topk, flat_scores.shape[0])
         top_s, top_i = jax.lax.top_k(flat_scores, m)
-        cand = cand_boxes[top_i]
+        cand_roi = sel_roi[top_i // BLOCK]
+        cls_id = (sel_cls0[top_i // BLOCK] + top_i % BLOCK).astype(jnp.int32)
+        cls_id = jnp.minimum(cls_id, num_classes - 1)  # padded cols are -inf anyway
+        if box.shape[-1] == 4:
+            cand = box[cand_roi]
+        else:
+            cand = box.reshape(k, num_classes, 4)[cand_roi, cls_id]
         cand = box_ops.clip(cand, hw)
-        cls_id = cls_id[top_i]
         keep_idx, keep_valid = batched_nms(cand, top_s, cls_id, nms_thresh, max_detections)
         det_boxes = cand[keep_idx]
         det_scores = jnp.where(keep_valid, top_s[keep_idx], 0.0)

@@ -101,10 +101,12 @@ class RPN(nn.Module):
 
         b = feats[0].shape[0]
         # flatten per level: (B, H*W*A) / (B, H*W*A, 4); NHWC + inner-A order
-        # matches anchor enumeration in anchors.grid_anchors. Losses and box
-        # decoding run in f32 regardless of the compute dtype.
-        logits = [l.reshape(b, -1).astype(jnp.float32) for l in logits_hwc]
-        deltas = [d.reshape(b, -1, 4).astype(jnp.float32) for d in deltas_hwc]
+        # matches anchor enumeration in anchors.grid_anchors. Keep the head
+        # dtype here: materializing all ~200k anchors' deltas in f32 costs
+        # ~1.4 ms/batch of pure layout copies; losses cast at use, and
+        # proposal decoding casts only the top-k selected entries.
+        logits = [l.reshape(b, -1) for l in logits_hwc]
+        deltas = [d.reshape(b, -1, 4) for d in deltas_hwc]
         anchors = self._anchors(features)            # list of (N_l, 4)
 
         losses: Dict[str, jnp.ndarray] = {}
@@ -128,8 +130,9 @@ class RPN(nn.Module):
     def _losses(self, anchors, logits, deltas, gt: GtInstances, image_sizes):
         c = self.cfg
         all_anchors = jnp.concatenate(anchors, axis=0)        # (N, 4)
-        all_logits = jnp.concatenate(logits, axis=1)          # (B, N)
-        all_deltas = jnp.concatenate(deltas, axis=1)          # (B, N, 4)
+        # losses run in f32 regardless of the compute dtype
+        all_logits = jnp.concatenate(logits, axis=1).astype(jnp.float32)
+        all_deltas = jnp.concatenate(deltas, axis=1).astype(jnp.float32)
         b = all_logits.shape[0]
         rng = self.make_rng("sampling")
         rngs = jax.random.split(rng, b)
@@ -216,7 +219,9 @@ class RPN(nn.Module):
         all_s = kept_s.transpose(1, 0, 2).reshape(b, nlvl * cap)
         fs, fi = jax.lax.top_k(all_s, post)
         boxes = jnp.take_along_axis(all_b, fi[..., None], axis=1)
-        scores = fs
+        # downstream consumers (sampling, cascade) expect f32 scores; the
+        # selection above ran in the head dtype
+        scores = fs.astype(jnp.float32)
         valid = scores > -jnp.inf
         boxes = jnp.where(valid[..., None], boxes, 0.0)
         return boxes, scores, valid

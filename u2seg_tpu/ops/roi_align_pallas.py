@@ -30,7 +30,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WIN = 40  # feature-cell window per ROI (covers level-routed spans <= 32 cells)
+WIN = 40    # x window per ROI: covers level-routed spans <= 32 cells after
+            # the mandatory 8-cell DMA alignment slack on the W axis
+WIN_Y = 32  # y window: H offsets need no alignment, so no slack — spans <= 30
+            # exactly, 31-32 (rare aspect-bumped boxes) edge-clamp on one row
 
 
 def _roi_align_kernel(
@@ -209,7 +212,7 @@ def _ml_kernel(
     g: int,             # ROIs per grid step
 ):
     out_ref = refs[num_levels]           # (G, s, s, C) block
-    win_ref = refs[num_levels + 1]       # (2, G, WIN, WIN, C) scratch
+    win_ref = refs[num_levels + 1]       # (2, G, WIN_Y, WIN, C) scratch
     sems = refs[num_levels + 2]          # (2, G) DMA semaphores
 
     step = pl.program_id(0)
@@ -227,7 +230,7 @@ def _ml_kernel(
                 @pl.when(lvl == k)
                 def _(k=k, j=j, b=b, oy=oy, ox=ox, slot=slot):
                     pltpu.make_async_copy(
-                        refs[k].at[b, pl.ds(oy, WIN), pl.ds(ox, WIN), :],
+                        refs[k].at[b, pl.ds(oy, WIN_Y), pl.ds(ox, WIN), :],
                         win_ref.at[slot, j],
                         sems.at[slot, j],
                     ).start()
@@ -256,21 +259,21 @@ def _ml_kernel(
     sub = ((idx_i % r).astype(jnp.float32) + 0.5) / r
     rel = (offs + sub)[:, 0]
 
-    def axis_weights_pooled(coords, size, origin):
-        """(s, WIN) separable weights with the r-sample mean pool FOLDED in
+    def axis_weights_pooled(coords, size, origin, win):
+        """(s, win) separable weights with the r-sample mean pool FOLDED in
         (the pool is linear, so averaging the r per-bin sample weights along
         each axis equals averaging the r*r interpolated samples)."""
         inside = (coords >= -1.0) & (coords <= size)
         cc = jnp.clip(coords, 0.0, size - 1.0)
         # clamp into the window so rare overflowing samples take the edge
-        # cell instead of vanishing (level routing keeps spans <= WIN)
-        local = jnp.clip(cc - origin.astype(jnp.float32), 0.0, WIN - 1.0)
-        cells = jax.lax.broadcasted_iota(jnp.int32, (n, WIN), 1).astype(
+        # cell instead of vanishing (level routing keeps spans <= window)
+        local = jnp.clip(cc - origin.astype(jnp.float32), 0.0, win - 1.0)
+        cells = jax.lax.broadcasted_iota(jnp.int32, (n, win), 1).astype(
             jnp.float32
         )
         wgt = jnp.maximum(0.0, 1.0 - jnp.abs(local[:, None] - cells))
         wgt = wgt * inside[:, None]
-        return wgt.reshape(s, r, WIN).sum(axis=1) * (1.0 / r)
+        return wgt.reshape(s, r, win).sum(axis=1) * (1.0 / r)
 
     def compute_group(slot):
         # Per-ROI (s, WIN) matmuls are pad-dominated on the MXU (M=s=7 and
@@ -295,24 +298,27 @@ def _ml_kernel(
 
             ys = y0 + rel * bin_h
             xs = x0 + rel * bin_w
-            wys.append(axis_weights_pooled(ys, h, oy_ref[roi]))   # (s, WIN)
+            wys.append(axis_weights_pooled(ys, h, oy_ref[roi], WIN_Y))
             wxs.append(axis_weights_pooled(
-                xs, w, pl.multiple_of(ox_ref[roi], 8)))
+                xs, w, pl.multiple_of(ox_ref[roi], 8), WIN))
 
         # block-diagonalize: tile the stacked (g*s, WIN) weights across g
         # column blocks and zero every off-diagonal block
-        wy_cat = jnp.concatenate(wys, axis=0)              # (g*s, WIN)
-        wx_cat = jnp.concatenate(wxs, axis=0)
-        row_blk = jax.lax.broadcasted_iota(jnp.int32, (g * s, g * WIN), 0) // s
-        col_blk = jax.lax.broadcasted_iota(jnp.int32, (g * s, g * WIN), 1) // WIN
-        on_diag = (row_blk == col_blk).astype(jnp.float32)
-        wy_blk = jnp.concatenate([wy_cat] * g, axis=1) * on_diag
-        wx_blk = jnp.concatenate([wx_cat] * g, axis=1) * on_diag
+        def block_diag(cat, win):
+            row_blk = jax.lax.broadcasted_iota(
+                jnp.int32, (g * s, g * win), 0) // s
+            col_blk = jax.lax.broadcasted_iota(
+                jnp.int32, (g * s, g * win), 1) // win
+            on_diag = (row_blk == col_blk).astype(jnp.float32)
+            return jnp.concatenate([cat] * g, axis=1) * on_diag
+
+        wy_blk = block_diag(jnp.concatenate(wys, axis=0), WIN_Y)
+        wx_blk = block_diag(jnp.concatenate(wxs, axis=0), WIN)
 
         for j in range(g):
             # wait for this group's windows (later groups' DMAs stay in flight)
             pltpu.make_async_copy(
-                refs[0].at[0, pl.ds(0, WIN), pl.ds(0, WIN), :],
+                refs[0].at[0, pl.ds(0, WIN_Y), pl.ds(0, WIN), :],
                 win_ref.at[slot, j],
                 sems.at[slot, j],
             ).wait()
@@ -321,10 +327,10 @@ def _ml_kernel(
         # bf16 interpolation weights are within the reference's own AMP
         # precision; it also avoids materializing an f32 window copy
         # (the VMEM cost would cap the group size)
-        window = win_ref[slot]                             # (g, WIN, WIN, C)
+        window = win_ref[slot]                             # (g, WIN_Y, WIN, C)
         c = window.shape[-1]
         tmp = jax.lax.dot_general(
-            wy_blk.astype(window.dtype), window.reshape(g * WIN, WIN * c),
+            wy_blk.astype(window.dtype), window.reshape(g * WIN_Y, WIN * c),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                  # (g*s, WIN*C)
@@ -407,7 +413,7 @@ def _ml_prep(
     pad_w = jnp.asarray([d[1] for d in pdims], jnp.int32)[lvl]
     first_y = jnp.floor(y0 + bin_h * (0.5 / r)) - 1
     first_x = jnp.floor(x0 + bin_w * (0.5 / r)) - 1
-    oy = jnp.clip(first_y, 0, (pad_h - WIN).astype(jnp.float32)).astype(jnp.int32)
+    oy = jnp.clip(first_y, 0, (pad_h - WIN_Y).astype(jnp.float32)).astype(jnp.int32)
     # align x-origin down to 8 (Mosaic-required for dynamic W DMA offsets)
     ox = jnp.clip(first_x, 0, (pad_w - WIN).astype(jnp.float32)).astype(jnp.int32)
     ox = ox // 8 * 8
@@ -478,7 +484,7 @@ def multilevel_roi_align_pallas(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, gsz, WIN, WIN, c), features[0].dtype),
+            pltpu.VMEM((2, gsz, WIN_Y, WIN, c), features[0].dtype),
             pltpu.SemaphoreType.DMA((2, gsz)),
         ],
     )
@@ -524,12 +530,12 @@ def _rel_coords(s: int, r: int) -> jnp.ndarray:
     return (idx // r).astype(jnp.float32) + ((idx % r).astype(jnp.float32) + 0.5) / r
 
 
-def _axis_weights_batch(coords, size, origin):
-    """Batched replica of the kernel's axis_weights: (R, n) -> (R, n, WIN)."""
+def _axis_weights_batch(coords, size, origin, win):
+    """Batched replica of the kernel's axis_weights: (R, n) -> (R, n, win)."""
     inside = (coords >= -1.0) & (coords <= size[:, None])
     cc = jnp.clip(coords, 0.0, size[:, None] - 1.0)
-    local = jnp.clip(cc - origin[:, None].astype(jnp.float32), 0.0, WIN - 1.0)
-    cells = jnp.arange(WIN, dtype=jnp.float32)
+    local = jnp.clip(cc - origin[:, None].astype(jnp.float32), 0.0, win - 1.0)
+    cells = jnp.arange(win, dtype=jnp.float32)
     wgt = jnp.maximum(0.0, 1.0 - jnp.abs(local[:, :, None] - cells))
     return wgt * inside[:, :, None]
 
@@ -547,17 +553,18 @@ def _ml_geometry(boxes, batch_idx, dims, strides, s, r, cbs, cl):
     rel = _rel_coords(s, r)
     ys = prep["y0"][:, None] + rel[None, :] * prep["bin_h"][:, None]
     xs = prep["x0"][:, None] + rel[None, :] * prep["bin_w"][:, None]
-    wy = _axis_weights_batch(ys, true_h, oy)     # (R, n, WIN)
-    wx = _axis_weights_batch(xs, true_w, ox)
+    wy = _axis_weights_batch(ys, true_h, oy, WIN_Y)   # (R, n, WIN_Y)
+    wx = _axis_weights_batch(xs, true_w, ox, WIN)     # (R, n, WIN)
 
     sizes = np.array([ph * pw for ph, pw in pdims], np.int64)
     offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int32)
     total = int(offsets[-1])
     pw_r = jnp.asarray([d[1] for d in pdims], jnp.int32)[lvl]
     base = batch_idx.astype(jnp.int32) * total + jnp.asarray(offsets[:-1])[lvl]
-    ii = jnp.arange(WIN, dtype=jnp.int32)
-    rows = (oy[:, None] + ii) * pw_r[:, None]                    # (R, WIN)
-    cols = ox[:, None] + ii                                      # (R, WIN)
+    ii_y = jnp.arange(WIN_Y, dtype=jnp.int32)
+    ii_x = jnp.arange(WIN, dtype=jnp.int32)
+    rows = (oy[:, None] + ii_y) * pw_r[:, None]                  # (R, WIN_Y)
+    cols = ox[:, None] + ii_x                                    # (R, WIN)
     idx = base[:, None, None] + rows[:, :, None] + cols[:, None, :]
     return wy, wx, idx, prep, total
 
@@ -592,7 +599,7 @@ def multilevel_roi_align_ref(
         canonical_box_size, canonical_level,
     )
     flat = _pad_pyramid_flat(features, prep["pdims"]).astype(jnp.float32)
-    win = flat[idx]                                    # (R, WIN, WIN, C)
+    win = flat[idx]                                    # (R, WIN_Y, WIN, C)
     out = jnp.einsum("rni,rijc->rnjc", wy, win)
     out = jnp.einsum("rmj,rnjc->rnmc", wx, out)
     n_roi, c = boxes.shape[0], features[0].shape[-1]
@@ -622,15 +629,15 @@ def _ml_bwd_features(g, boxes, batch_idx, shapes, dtype, output_size,
     def padr(x):
         return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
 
-    wy_c = padr(wy).reshape(-1, k, n, WIN)
+    wy_c = padr(wy).reshape(-1, k, n, WIN_Y)
     wx_c = padr(wx).reshape(-1, k, n, WIN)
     gs_c = padr(gs).reshape(-1, k, n, n, c)     # zero pad => zero contribution
-    idx_c = padr(idx).reshape(-1, k, WIN, WIN)
+    idx_c = padr(idx).reshape(-1, k, WIN_Y, WIN)
 
     def body(df, args):
         wyk, wxk, gsk, idxk = args
         tmp = jnp.einsum("kni,knmc->kimc", wyk, gsk)
-        gwin = jnp.einsum("kmj,kimc->kijc", wxk, tmp)   # (k, WIN, WIN, C)
+        gwin = jnp.einsum("kmj,kimc->kijc", wxk, tmp)   # (k, WIN_Y, WIN, C)
         df = df.at[idxk.reshape(-1)].add(gwin.reshape(-1, c))
         return df, None
 
