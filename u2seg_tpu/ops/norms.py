@@ -46,6 +46,56 @@ class FrozenBatchNorm(nn.Module):
         return x * mul.astype(x.dtype) + add.astype(x.dtype)
 
 
+class BatchNorm(nn.BatchNorm):
+    """flax BatchNorm whose inference path applies the folded affine.
+
+    NOTE the class is named ``BatchNorm`` so flax auto-names submodule
+    scopes exactly like ``nn.BatchNorm`` (``BatchNorm_0`` ...) — checkpoint
+    variable paths and the torch weight converter are name-compatible.
+
+    flax's BatchNorm computes ``(x - mean) * rsqrt(var + eps) * scale +
+    bias`` with f32 broadcasts even when ``use_running_average=True``; on
+    TPU the f32 body blocks fusion into the producing conv's epilogue and
+    costs a ~0.4 ms layout copy per call site at detection resolutions.
+    Folding mean/var/scale/bias into one per-channel (mul, add) in f32 and
+    applying in the activation dtype is the same math to 1 ulp and fuses
+    cleanly (identical to FrozenBatchNorm's application). Training behavior
+    (batch stats, psum sync via axis_name, running-average updates) is
+    inherited unchanged, and variable/param names, shapes and creation
+    order match flax exactly, so checkpoints interoperate.
+    """
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        use_ra = nn.merge_param(
+            "use_running_average", self.use_running_average,
+            use_running_average,
+        )
+        if not use_ra:
+            return super().__call__(x, use_running_average=False)
+        feature_shape = (x.shape[-1],)
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda s: jnp.zeros(s, jnp.float32), feature_shape,
+        ).value
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda s: jnp.ones(s, jnp.float32), feature_shape,
+        ).value
+        mul = jax.lax.rsqrt(ra_var + self.epsilon)
+        if self.use_scale:
+            mul = mul * self.param(
+                "scale", self.scale_init, feature_shape, self.param_dtype
+            )
+        add = -ra_mean * mul
+        if self.use_bias:
+            add = add + self.param(
+                "bias", self.bias_init, feature_shape, self.param_dtype
+            )
+        dtype = self.dtype or x.dtype
+        return x.astype(dtype) * mul.astype(dtype) + add.astype(dtype)
+
+
 def get_norm(
     norm: Optional[str],
     features: int,
@@ -69,10 +119,10 @@ def get_norm(
     # _compute_stats force-promotes reductions, so bf16 outputs are safe —
     # and keep the norm a fusable epilogue instead of an f32 HBM round trip.
     if norm == "BN":
-        return nn.BatchNorm(momentum=0.9, epsilon=1e-5,
-                            use_running_average=None, dtype=dtype)
+        return BatchNorm(momentum=0.9, epsilon=1e-5,
+                         use_running_average=None, dtype=dtype)
     if norm in ("SyncBN", "naiveSyncBN"):
-        return nn.BatchNorm(
+        return BatchNorm(
             momentum=0.9, epsilon=1e-5, axis_name=axis_name,
             use_running_average=None, dtype=dtype,
         )
@@ -93,3 +143,7 @@ def get_norm(
     if norm == "LN":
         return nn.LayerNorm(epsilon=1e-6, dtype=dtype)
     raise ValueError(f"Unknown norm: {norm}")
+
+
+# explicit alias for importers
+FoldedInferenceBatchNorm = BatchNorm
