@@ -48,17 +48,20 @@ def subsample_labels(
     pos_keys = jnp.where(pos_mask, jax.random.uniform(kp, (n,)), -1.0)
     neg_keys = jnp.where(neg_mask, jax.random.uniform(kn, (n,)), -1.0)
 
-    pos_order = jnp.argsort(-pos_keys)  # best (valid random) first
-    neg_order = jnp.argsort(-neg_keys)
+    # only the first num_samples entries of each order are ever indexed —
+    # top_k(256) over ~268k anchor keys is far cheaper than a full argsort
+    kcap = min(num_samples, n)
+    _, pos_order = jax.lax.top_k(pos_keys, kcap)  # best (valid random) first
+    _, neg_order = jax.lax.top_k(neg_keys, kcap)
 
     # Fixed-size layout: first num_pos_target slots reserved for positives,
     # rest for negatives; unused pos slots can be backfilled by negatives.
     slot = jnp.arange(num_samples)
     # positives occupy slots [0, num_pos)
-    pos_idx = pos_order[jnp.minimum(slot, n - 1)]
+    pos_idx = pos_order[jnp.minimum(slot, kcap - 1)]
     is_pos_slot = slot < num_pos
     # negatives occupy slots [num_pos, num_pos+num_neg)
-    neg_rank = jnp.clip(slot - num_pos, 0, n - 1)
+    neg_rank = jnp.clip(slot - num_pos, 0, kcap - 1)
     neg_idx = neg_order[neg_rank]
     is_neg_slot = (slot >= num_pos) & (slot < num_pos + num_neg)
 

@@ -654,6 +654,157 @@ def _ml_bwd_features(g, boxes, batch_idx, shapes, dtype, output_size,
     return grads
 
 
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward: serial read-modify-write window accumulation.
+#
+# The XLA formulation above (chunked scatter-add) lowers to sort-based
+# scatters: ~30-40 ms per 1024-ROI pool on v5e — slower than the rest of
+# the backward combined. This kernel exploits the TPU grid's sequential
+# execution: per ROI it computes the window cotangent with the transposed
+# separable matmuls (gwin = wyP^T g wxP, pooled weights folded exactly as
+# in the forward) and accumulates it into the padded gradient pyramid via
+# an HBM read-add-write of the same window the forward DMA'd. In-step
+# write waits keep overlapping windows of consecutive ROIs race-free.
+# ---------------------------------------------------------------------------
+
+
+def _ml_bwd_kernel(
+    oy_ref, ox_ref, batch_ref, lvl_ref, y0_ref, x0_ref, binh_ref, binw_ref,
+    *refs,
+    s: int,
+    r: int,
+    num_levels: int,
+    level_dims: tuple,
+):
+    # refs: L aliased grad-input refs (ignored), gs input block,
+    #       L grad-output refs, win scratch, read/write semaphores
+    gs_ref = refs[num_levels]                     # (1, s, s, C) VMEM block
+    out_refs = refs[num_levels + 1: 2 * num_levels + 1]
+    win_scr = refs[2 * num_levels + 1]            # (WIN_Y, WIN, C) f32
+    rsem = refs[2 * num_levels + 2]
+    wsem = refs[2 * num_levels + 3]
+
+    roi = pl.program_id(0)
+    oy = oy_ref[roi]
+    ox = pl.multiple_of(ox_ref[roi], 8)
+    b = batch_ref[roi]
+    lvl = lvl_ref[roi]
+
+    n = s * r
+    idx_i = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    offs = (idx_i // r).astype(jnp.float32)
+    sub = ((idx_i % r).astype(jnp.float32) + 0.5) / r
+    rel = (offs + sub)[:, 0]
+
+    def axis_weights_pooled(coords, size, origin, win):
+        inside = (coords >= -1.0) & (coords <= size)
+        cc = jnp.clip(coords, 0.0, size - 1.0)
+        local = jnp.clip(cc - origin.astype(jnp.float32), 0.0, win - 1.0)
+        cells = jax.lax.broadcasted_iota(jnp.int32, (n, win), 1).astype(
+            jnp.float32
+        )
+        wgt = jnp.maximum(0.0, 1.0 - jnp.abs(local[:, None] - cells))
+        wgt = wgt * inside[:, None]
+        return wgt.reshape(s, r, win).sum(axis=1) * (1.0 / r)
+
+    h = jnp.float32(level_dims[0][0])
+    w = jnp.float32(level_dims[0][1])
+    for k in range(1, num_levels):
+        h = jnp.where(lvl == k, jnp.float32(level_dims[k][0]), h)
+        w = jnp.where(lvl == k, jnp.float32(level_dims[k][1]), w)
+    ys = y0_ref[roi] + rel * binh_ref[roi]
+    xs = x0_ref[roi] + rel * binw_ref[roi]
+    wy = axis_weights_pooled(ys, h, oy, WIN_Y)     # (s, WIN_Y)
+    wx = axis_weights_pooled(xs, w, ox, WIN)       # (s, WIN)
+
+    gs = gs_ref[0].astype(jnp.float32)             # (s, s, C)
+    c = gs.shape[-1]
+    # gwin[i, j, ch] = sum_{n1,n2} wy[n1,i] wx[n2,j] gs[n1,n2,ch]
+    tmp = jax.lax.dot_general(
+        wy, gs.reshape(s, s * c),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(WIN_Y, s, c)                         # (WIN_Y, n2, C)
+    gwin = jax.lax.dot_general(
+        tmp, wx,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).transpose(0, 2, 1)                           # (WIN_Y, WIN, C)
+
+    # read-modify-write the ROI's window; the in-step write wait orders it
+    # before the (possibly overlapping) read of the next grid step
+    for k in range(num_levels):
+        @pl.when(lvl == k)
+        def _(k=k):
+            rd = pltpu.make_async_copy(
+                out_refs[k].at[b, pl.ds(oy, WIN_Y), pl.ds(ox, WIN), :],
+                win_scr, rsem,
+            )
+            rd.start()
+            rd.wait()
+            win_scr[:] = win_scr[:] + gwin
+            wr = pltpu.make_async_copy(
+                win_scr,
+                out_refs[k].at[b, pl.ds(oy, WIN_Y), pl.ds(ox, WIN), :],
+                wsem,
+            )
+            wr.start()
+            wr.wait()
+
+
+def _ml_bwd_features_pallas(g, boxes, batch_idx, shapes, dtype, output_size,
+                            strides, sampling_ratio, cbs, cl):
+    """Pallas RMW backward; returns per-level grads with true dims."""
+    s, r = output_size, sampling_ratio
+    dims = tuple((sh[1], sh[2]) for sh in shapes)
+    b, c = shapes[0][0], shapes[0][-1]
+    n_roi = boxes.shape[0]
+    num_levels = len(dims)
+
+    prep = _ml_prep(boxes, dims, tuple(strides), s, r, cbs, cl)
+    pdims = prep["pdims"]
+    zeros = [jnp.zeros((b, ph, pw, c), jnp.float32) for ph, pw in pdims]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(n_roi,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * num_levels + [
+            pl.BlockSpec((1, s, s, c), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * num_levels,
+        scratch_shapes=[
+            pltpu.VMEM((WIN_Y, WIN, c), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(
+        _ml_bwd_kernel, s=s, r=r, num_levels=num_levels,
+        level_dims=tuple((int(d[0]), int(d[1])) for d in dims),
+    )
+    grads = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((b, ph, pw, c), jnp.float32)
+                   for ph, pw in pdims],
+        grid_spec=grid_spec,
+        # aliased zero-initialized accumulators (operand indices count the
+        # 8 scalar-prefetch args first)
+        input_output_aliases={8 + i: i for i in range(num_levels)},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        prep["oy"], prep["ox"], batch_idx.astype(jnp.int32), prep["lvl"],
+        prep["y0"], prep["x0"], prep["bin_h"], prep["bin_w"],
+        *zeros, g.astype(jnp.float32),
+    )
+    return [
+        grad[:, :hw[0], :hw[1]].astype(dtype)
+        for grad, hw in zip(grads, dims)
+    ]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _train_pooler(features, boxes, batch_idx, output_size, strides,
                   sampling_ratio, cbs, cl, shapes, dtype):
@@ -674,7 +825,7 @@ def _train_pooler_fwd(features, boxes, batch_idx, output_size, strides,
 def _train_pooler_bwd(output_size, strides, sampling_ratio, cbs, cl,
                       shapes, dtype, res, g):
     boxes, batch_idx = res
-    dfeat = _ml_bwd_features(
+    dfeat = _ml_bwd_features_pallas(
         g, boxes, batch_idx, shapes, dtype, output_size, strides,
         sampling_ratio, cbs, cl,
     )
