@@ -84,3 +84,52 @@ def test_fri_nothing_above_threshold(rng):
         0.05, 0.5, 8,
     )
     assert not np.asarray(det.valid).any()
+
+def test_fri_saturated_blocks_exact_topm(rng):
+    """Adversarial saturation: EVERY (roi, class) pair above threshold, so
+    above-threshold scores spread over every class block. With BLOCK_KEEP
+    = candidate_topk the mining must still return exactly the global top-M
+    candidates (the documented cap semantics), not a block-truncated subset."""
+    k, c = 128, 96
+    h, w = 600, 800
+    boxes = np.zeros((k, 4), np.float32)
+    # spread boxes so NMS suppresses little and ordering differences show
+    gx, gy = np.meshgrid(np.arange(16), np.arange(8))
+    boxes[:, 0] = gx.reshape(-1) * 48.0
+    boxes[:, 1] = gy.reshape(-1) * 70.0
+    boxes[:, 2] = boxes[:, 0] + 40.0
+    boxes[:, 3] = boxes[:, 1] + 60.0
+    # all probabilities well above threshold, distinct random values
+    probs = rng.uniform(0.2, 1.0, (k, c + 1)).astype(np.float32)
+
+    cap = 64
+    det = fast_rcnn_inference(
+        jnp.array(boxes)[None], jnp.array(probs)[None],
+        jnp.ones((1, k), bool), jnp.array([[h, w]], jnp.int32),
+        0.05, 0.5, 32, candidate_topk=cap,
+    )
+
+    # oracle: global top-`cap` pairs by score, then class-aware greedy NMS
+    flat = probs[:, :-1].reshape(-1)
+    order = np.argsort(-flat)[:cap]
+    cand = []
+    for idx in order:
+        i, j = divmod(int(idx), c)
+        bx = boxes[i].copy()
+        bx[[0, 2]] = np.clip(bx[[0, 2]], 0, w)
+        bx[[1, 3]] = np.clip(bx[[1, 3]], 0, h)
+        cand.append((flat[idx], j, bx))
+    kept = []
+    for s, cls, bx in cand:
+        if all(cls2 != cls or _np_iou(bx[None], bx2[None])[0, 0] <= 0.5
+               for _, cls2, bx2 in kept):
+            kept.append((s, cls, bx))
+        if len(kept) >= 32:
+            break
+
+    got_scores = np.asarray(det.scores[0])[np.asarray(det.valid[0])]
+    got_cls = np.asarray(det.classes[0])[np.asarray(det.valid[0])]
+    assert len(kept) == len(got_scores)
+    for (rs, rc, _), gs, gc in zip(kept, got_scores, got_cls):
+        np.testing.assert_allclose(gs, rs, rtol=1e-5)
+        assert gc == rc

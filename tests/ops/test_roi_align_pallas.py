@@ -144,3 +144,93 @@ def test_ml_bf16_features_within_amp_tolerance(rng):
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0.05, atol=0.03)
+
+
+def _avgpool2x_edge(f):
+    """Independent replica of the kernel's virtual-level construction."""
+    b, h, w, c = f.shape
+    ph, pw = h + (h % 2), w + (w % 2)
+    f = jnp.pad(f, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    return f.reshape(b, ph // 2, 2, pw // 2, 2, c).mean(axis=(2, 4))
+
+
+def test_max_span_boxes_exact_vs_unclamped_roi_align(rng):
+    """Large boxes vs the exact single-level ROIAlign oracle (NOT the
+    window replica, which would share any clamping bug).
+
+    - span == SPAN_BUDGET cells at the top real level: must be exact there;
+    - span > SPAN_BUDGET at the top real level: must be exact on the
+      virtual 2x-pooled level (previously these edge-clamped window rows).
+    """
+    from u2seg_tpu.ops.roi_align_pallas import (
+        SPAN_BUDGET, multilevel_roi_align_pallas,
+    )
+
+    feats = [
+        jnp.array(rng.randn(1, 240, 336, 4).astype(np.float32)),
+        jnp.array(rng.randn(1, 120, 168, 4).astype(np.float32)),
+        jnp.array(rng.randn(1, 60, 84, 4).astype(np.float32)),
+        jnp.array(rng.randn(1, 30, 42, 4).astype(np.float32)),
+    ]
+    strides = (4, 8, 16, 32)
+    assert SPAN_BUDGET == 28
+    boxes = jnp.array([
+        # exactly at budget on the top real level (896 = 28 * 32)
+        [16.0, 20.0, 16.0 + 896.0, 20.0 + 896.0],
+        # over budget at stride 32 (29.7 cells) -> virtual level
+        [5.0, 3.0, 5.0 + 950.0, 3.0 + 950.0],
+        # tall thin: canonical level 16, bump cascades to the virtual level
+        [30.0, 10.0, 130.0, 950.0],
+    ], jnp.float32)
+    bidx = jnp.zeros(3, jnp.int32)
+    got = multilevel_roi_align_pallas(feats, boxes, bidx, 7, strides, 2)
+
+    virt = _avgpool2x_edge(feats[3])
+    oracle = [
+        roi_align(feats[3], boxes[0:1], bidx[:1], 7, 1.0 / 32, 2),
+        roi_align(virt, boxes[1:2], bidx[:1], 7, 1.0 / 64, 2),
+        roi_align(virt, boxes[2:3], bidx[:1], 7, 1.0 / 64, 2),
+    ]
+    for i, exp in enumerate(oracle):
+        np.testing.assert_allclose(
+            np.asarray(got[i]), np.asarray(exp[0]), rtol=1e-4, atol=1e-4,
+            err_msg=f"box {i} diverges from exact unclamped ROIAlign",
+        )
+
+
+def test_train_pooler_grad_with_virtual_level_box(rng):
+    """Hand-derived VJP vs autodiff of the replica when a box routes to the
+    virtual level: the cotangent must chain back through the average pool
+    into the top real level."""
+    from u2seg_tpu.ops.roi_align_pallas import (
+        multilevel_roi_align_ref, multilevel_roi_align_train,
+    )
+
+    feats = [
+        jnp.array(rng.randn(1, 240, 336, 4).astype(np.float32)),
+        jnp.array(rng.randn(1, 120, 168, 4).astype(np.float32)),
+        jnp.array(rng.randn(1, 60, 84, 4).astype(np.float32)),
+        jnp.array(rng.randn(1, 30, 42, 4).astype(np.float32)),
+    ]
+    strides = (4, 8, 16, 32)
+    boxes = jnp.array([
+        [5.0, 3.0, 955.0, 953.0],     # virtual level
+        [10.0, 10.0, 80.0, 60.0],     # fine level
+    ], jnp.float32)
+    bidx = jnp.zeros(2, jnp.int32)
+    cot = jnp.array(rng.randn(2, 7, 7, 4).astype(np.float32))
+
+    def loss_train(fs):
+        return jnp.sum(
+            multilevel_roi_align_train(fs, boxes, bidx, 7, strides, 2) * cot)
+
+    def loss_ref(fs):
+        return jnp.sum(
+            multilevel_roi_align_ref(fs, boxes, bidx, 7, strides, 2) * cot)
+
+    g_train = jax.grad(loss_train)(feats)
+    g_ref = jax.grad(loss_ref)(feats)
+    assert float(jnp.abs(g_train[3]).sum()) > 0.0  # pool chain reached p5
+    for gt, gr in zip(g_train, g_ref):
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(gr),
+                                   rtol=1e-4, atol=1e-4)

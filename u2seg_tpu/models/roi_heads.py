@@ -321,16 +321,18 @@ def fast_rcnn_inference(
     exact top-M runs over the expanded set. Rowwise top-k over (K, C)
     costs ~3-4 ms on v5e in every formulation (approx_max_k, sort-based,
     iterative argmax); the block-max reduce + two small top-ks cost ~1 ms.
-    Mining is exact whenever at most BLOCK_KEEP blocks per image contain
-    any score > thresh (any realistic scene); the M=2048 cap is the
-    remaining TPU deviation from the reference (which keeps every
-    above-threshold pair)."""
+
+    With BLOCK_KEEP = M (= candidate_topk) the mining is EXACT: if a pair
+    with score s were in the true top-M but its block dropped, then >= M
+    kept blocks would each contain a pair scoring > s — contradiction. So
+    the only deviation from the reference (which keeps every
+    above-threshold pair) is the top-M candidate cap itself."""
     bsz, k, cp1 = scores.shape
     num_classes = cp1 - 1
     BLOCK = 32
     nblocks = (num_classes + BLOCK - 1) // BLOCK
     pad_c = nblocks * BLOCK - num_classes
-    block_keep = min(1024, k * nblocks)
+    block_keep = min(candidate_topk, k * nblocks)
 
     def per_image(box, score, valid, hw):
         cls_scores = score[:, :-1]                    # (K, C)

@@ -116,13 +116,14 @@ def softmax_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     num = logits.shape[-1]
     safe = jnp.clip(labels, 0, num - 1)
     logz = jax.nn.logsumexp(logits, axis=-1)
-    # select the label logit via a one-hot contraction, not take_along_axis:
+    # select the label logit via a masked reduction, not take_along_axis:
     # a per-element gather over millions of pixels costs ~33 ms/step on TPU
-    # (plus a scatter in the backward); the contraction fuses into the same
-    # pass as logsumexp and its gradient is a dense broadcast
-    picked = jnp.sum(
-        logits * jax.nn.one_hot(safe, num, dtype=logits.dtype), axis=-1
-    )
+    # (plus a scatter in the backward); the masked sum fuses into the same
+    # pass as logsumexp and its gradient is a dense broadcast. where (not
+    # logits * one_hot) so a non-finite logit in an unselected class (bf16
+    # overflow, -inf class masking) cannot poison the row with inf * 0.
+    one_hot = safe[..., None] == jnp.arange(num, dtype=safe.dtype)
+    picked = jnp.sum(jnp.where(one_hot, logits, 0.0), axis=-1)
     return logz - picked
 
 

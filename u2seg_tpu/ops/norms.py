@@ -92,7 +92,11 @@ class BatchNorm(nn.BatchNorm):
             add = add + self.param(
                 "bias", self.bias_init, feature_shape, self.param_dtype
             )
-        dtype = self.dtype or x.dtype
+        # dtype=None means "promote to f32" (flax BatchNorm's canonicalized
+        # default) — match it so train and eval agree; bf16 output only
+        # when the caller asked for it explicitly.
+        dtype = (self.dtype if self.dtype is not None
+                 else jnp.promote_types(x.dtype, jnp.float32))
         return x.astype(dtype) * mul.astype(dtype) + add.astype(dtype)
 
 

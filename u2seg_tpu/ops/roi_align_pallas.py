@@ -30,10 +30,19 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WIN = 40    # x window per ROI: covers level-routed spans <= 32 cells after
-            # the mandatory 8-cell DMA alignment slack on the W axis
-WIN_Y = 32  # y window: H offsets need no alignment, so no slack — spans <= 30
-            # exactly, 31-32 (rare aspect-bumped boxes) edge-clamp on one row
+WIN = 40    # x window per ROI; the x origin is aligned DOWN to a multiple
+            # of 8 (Mosaic DMA requirement), costing up to 7 cells of slack
+WIN_Y = 32  # y window: no alignment requirement, no slack
+
+# Largest box span (in feature cells) the windows cover EXACTLY, halos
+# included. Bilinear sampling of a span needs floor(first)-1 .. floor(last)+1
+# = up to span+4 cells per axis: y budget = WIN_Y - 4; x budget = WIN - 11
+# (4 halo cells + 7 alignment slack). Boxes whose long side exceeds this at
+# their canonical level are routed one level coarser (window-fit bump), and
+# boxes too large even for the top REAL level go to a VIRTUAL level — a 2x
+# average-pool of the top level appended internally — so no in-image box
+# ever edge-clamps (28 cells at the virtual stride 64 covers 1792 px).
+SPAN_BUDGET = min(WIN - 11, WIN_Y - 4)
 
 
 def _roi_align_kernel(
@@ -373,10 +382,17 @@ def _ml_prep(
     r: int,
     canonical_box_size: float,
     canonical_level: int,
+    n_virtual: int = 1,
 ):
     """Shared routing/window math for the multilevel kernel, its pure-JAX
     reference, and the hand-derived backward: per-ROI level (with the
-    window-fit bump), window origins, and bin geometry in level coords."""
+    window-fit bump), window origins, and bin geometry in level coords.
+
+    ``dims``/``strides`` include ``n_virtual`` trailing virtual levels
+    (2x average-pools of the top real level, see _append_virtual_level);
+    canonical sqrt-area routing only targets REAL levels — virtual levels
+    are reachable exclusively through the window-fit bump.
+    """
     import math as _math
 
     from u2seg_tpu.ops.roi_align import assign_boxes_to_levels
@@ -384,20 +400,21 @@ def _ml_prep(
     num_levels = len(dims)
     min_level = int(_math.log2(strides[0]))
     levels = assign_boxes_to_levels(
-        boxes, min_level, min_level + num_levels - 1,
+        boxes, min_level, min_level + num_levels - 1 - n_virtual,
         canonical_box_size, canonical_level,
     )
     lvl = (levels - min_level).astype(jnp.int32)
-    # window-fit routing: elongated boxes whose long side exceeds the DMA
-    # window at their canonical level are bumped to a coarser level (a
+    # window-fit routing: boxes whose long side exceeds the exact window
+    # budget at their canonical level are bumped to a coarser level (a
     # deliberate deviation from the reference's sqrt-area-only routing;
-    # affects only aspect ratios beyond ~3)
+    # affects only aspect ratios beyond ~3 and giant boxes, which land on
+    # the virtual level instead of clamping)
     max_side = jnp.maximum(
         boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1]
     )
     stride0 = jnp.asarray(np.asarray(strides, np.float32))[lvl]
     need = jnp.ceil(
-        jnp.log2(jnp.maximum(max_side / stride0 / (WIN - 8), 1e-6))
+        jnp.log2(jnp.maximum(max_side / stride0 / SPAN_BUDGET, 1e-6))
     ).astype(jnp.int32)
     lvl = jnp.clip(lvl + jnp.maximum(need, 0), 0, num_levels - 1)
 
@@ -421,11 +438,25 @@ def _ml_prep(
                 bin_w=bin_w, pdims=pdims)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("output_size", "strides", "sampling_ratio",
-                     "canonical_box_size", "canonical_level"),
-)
+def _append_virtual_level(features, strides):
+    """Append a 2x average-pool of the top level as a VIRTUAL routing level.
+
+    Boxes too large for the exact window budget at the top real level are
+    routed here by the window-fit bump instead of edge-clamping. Odd top
+    dims are edge-padded so the last pooled cell averages duplicated edge
+    rows/cols. Plain JAX (differentiable) so the train pooler's custom VJP
+    chains the virtual-level gradient back through the pool automatically.
+    """
+    f = features[-1]
+    b, h, w, c = f.shape
+    ph, pw = h + (h % 2), w + (w % 2)
+    if ph != h or pw != w:
+        f = jnp.pad(f, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)),
+                    mode="edge")
+    pooled = f.reshape(b, ph // 2, 2, pw // 2, 2, c).mean(axis=(2, 4))
+    return list(features) + [pooled], tuple(strides) + (2 * strides[-1],)
+
+
 def multilevel_roi_align_pallas(
     features,                  # list of (B, H_l, W_l, C), fine -> coarse
     boxes: jnp.ndarray,        # (R, 4) XYXY image coords
@@ -441,6 +472,28 @@ def multilevel_roi_align_pallas(
     interpolation. Levels smaller than WIN are zero-padded up front (the
     axis weights vanish outside the true level size, so padding is exact).
     """
+    features, strides = _append_virtual_level(features, tuple(strides))
+    return _ml_pallas_ext(
+        features, boxes, batch_idx, output_size, strides,
+        sampling_ratio, canonical_box_size, canonical_level,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("output_size", "strides", "sampling_ratio",
+                     "canonical_box_size", "canonical_level"),
+)
+def _ml_pallas_ext(
+    features,                  # EXTENDED list (last level is virtual)
+    boxes: jnp.ndarray,
+    batch_idx: jnp.ndarray,
+    output_size: int,
+    strides: Tuple[int, ...],
+    sampling_ratio: int = 2,
+    canonical_box_size: float = 224.0,
+    canonical_level: int = 4,
+) -> jnp.ndarray:
     if sampling_ratio <= 0:
         sampling_ratio = 2
     s, r = output_size, sampling_ratio
@@ -593,6 +646,7 @@ def multilevel_roi_align_ref(
     if sampling_ratio <= 0:
         sampling_ratio = 2
     s, r = output_size, sampling_ratio
+    features, strides = _append_virtual_level(features, tuple(strides))
     dims = tuple((f.shape[1], f.shape[2]) for f in features)
     wy, wx, idx, prep, _ = _ml_geometry(
         boxes, batch_idx, dims, tuple(strides), s, r,
@@ -808,7 +862,10 @@ def _ml_bwd_features_pallas(g, boxes, batch_idx, shapes, dtype, output_size,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _train_pooler(features, boxes, batch_idx, output_size, strides,
                   sampling_ratio, cbs, cl, shapes, dtype):
-    return multilevel_roi_align_pallas(
+    # features/strides/shapes are EXTENDED (virtual level appended by
+    # multilevel_roi_align_train, outside this custom_vjp, so autodiff
+    # chains the virtual-level cotangent back through the average pool)
+    return _ml_pallas_ext(
         features, boxes, batch_idx, output_size, strides,
         sampling_ratio=sampling_ratio, canonical_box_size=cbs,
         canonical_level=cl,
@@ -847,9 +904,10 @@ def multilevel_roi_align_train(
     is linear in the features for fixed boxes)."""
     if sampling_ratio <= 0:
         sampling_ratio = 2
+    features, strides = _append_virtual_level(features, tuple(strides))
     shapes = tuple(tuple(f.shape) for f in features)
     return _train_pooler(
-        list(features), boxes, batch_idx, output_size, tuple(strides),
+        list(features), boxes, batch_idx, output_size, strides,
         sampling_ratio, canonical_box_size, canonical_level,
         shapes, features[0].dtype,
     )
