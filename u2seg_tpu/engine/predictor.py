@@ -31,9 +31,8 @@ def detections_to_records(
     mask_threshold: float = 0.5,
 ) -> dict:
     """Rescale to the original resolution and paste masks (host-side exact
-    path, matching ref paste_masks_in_image semantics via cv2 bilinear)."""
-    import cv2
-
+    path: per-box grid-sample bilinear, ref mask_ops.py:17-140)."""
+    from u2seg_tpu.engine.panoptic_render import paste_mask_exact
     from u2seg_tpu.evaluation import rle as rle_codec
 
     ih, iw = input_hw
@@ -53,21 +52,12 @@ def detections_to_records(
     if mask_logits is not None:
         rles = []
         full_masks = []
-        ml = np.asarray(mask_logits)[sel]
+        ml = np.asarray(mask_logits, np.float32)[sel]
         for i in range(len(b)):
-            x0, y0, x1, y1 = b[i]
-            x0i, y0i = int(np.floor(x0)), int(np.floor(y0))
-            x1i, y1i = int(np.ceil(x1)), int(np.ceil(y1))
-            w = max(x1i - x0i, 1)
-            h = max(y1i - y0i, 1)
             prob = 1.0 / (1.0 + np.exp(-ml[i]))
-            resized = cv2.resize(prob, (w, h), interpolation=cv2.INTER_LINEAR)
+            ys, xs, sub = paste_mask_exact(prob, b[i], oh, ow)
             canvas = np.zeros((oh, ow), np.uint8)
-            ys, ye = max(y0i, 0), min(y1i, oh)
-            xs, xe = max(x0i, 0), min(x1i, ow)
-            canvas[ys:ye, xs:xe] = (
-                resized[ys - y0i:ye - y0i, xs - x0i:xe - x0i] > mask_threshold
-            )
+            canvas[ys, xs] = sub >= mask_threshold
             r = rle_codec.encode(canvas)
             r["counts"] = r["counts"].decode("ascii")
             rles.append(r)
@@ -75,24 +65,6 @@ def detections_to_records(
         out["rles"] = rles
         out["masks"] = full_masks
     return out
-
-
-def panoptic_to_original(
-    panoptic_small: np.ndarray,   # (h/4, w/4) seg-id map (network frame)
-    input_hw: Tuple[int, int],
-    orig_hw: Tuple[int, int],
-    stride: int = 4,
-) -> np.ndarray:
-    """Upsample the stride-4 panoptic id map to the original resolution
-    (nearest; ids are categorical)."""
-    import cv2
-
-    ih, iw = input_hw
-    valid = panoptic_small[: max(ih // stride, 1), : max(iw // stride, 1)]
-    return cv2.resize(
-        valid.astype(np.int32), (orig_hw[1], orig_hw[0]),
-        interpolation=cv2.INTER_NEAREST,
-    )
 
 
 class DefaultPredictor:
@@ -128,8 +100,10 @@ class DefaultPredictor:
         self.variables = variables
 
         def fwd(variables, image, size):
+            # fusion happens host-side at full resolution
+            # (engine/panoptic_render.py), so no on-device combine here
             return self.model.apply(
-                variables, image, size, train=False, combine=True
+                variables, image, size, train=False, combine=False
             )
 
         self._fwd = jax.jit(fwd)
@@ -168,32 +142,25 @@ class DefaultPredictor:
             (h, w), (oh, ow),
         )
         result = {"instances": records}
-        # sem-seg logits are at stride 4; argmax then upsample labels
-        s4h, s4w = max(h // 4, 1), max(w // 4, 1)
-        sem = np.asarray(out.sem_seg_logits[0, :s4h, :s4w]).argmax(-1)
-        import cv2
+        # exact full-resolution semantic + panoptic render
+        # (ref sem_seg_postprocess + combine_semantic_and_instance_outputs)
+        from u2seg_tpu.engine.panoptic_render import render_panoptic_output
 
-        result["sem_seg"] = cv2.resize(
-            sem.astype(np.int32), (ow, oh), interpolation=cv2.INTER_NEAREST
+        pano_cfg = self.cfg.model.panoptic
+        sem, pan, segments = render_panoptic_output(
+            np.asarray(det.boxes[0]), np.asarray(det.scores[0]),
+            np.asarray(det.classes[0]), np.asarray(det.valid[0]),
+            np.asarray(det.mask_logits[0])
+            if det.mask_logits is not None else None,
+            np.asarray(out.sem_seg_logits[0]),
+            (h, w), (oh, ow),
+            instance_conf_thresh=pano_cfg.instance_conf_thresh,
+            overlap_thresh=pano_cfg.overlap_thresh,
+            stuff_area_limit=pano_cfg.stuff_area_limit,
         )
-        if out.panoptic is not None:
-            result["panoptic"] = panoptic_to_original(
-                np.asarray(out.panoptic[0]), (h, w), (oh, ow)
-            )
-            segs = []
-            cat = np.asarray(out.seg_category[0])
-            isth = np.asarray(out.seg_is_thing[0])
-            val = np.asarray(out.seg_valid[0])
-            score = np.asarray(out.seg_score[0])
-            for sid in range(len(cat)):
-                if val[sid]:
-                    segs.append({
-                        "id": sid + 1,
-                        "category_id": int(cat[sid]),
-                        "isthing": bool(isth[sid]),
-                        "score": float(score[sid]),
-                    })
-            result["segments"] = segs
+        result["sem_seg"] = sem
+        result["panoptic"] = pan
+        result["segments"] = segments
         return result
 
 
