@@ -72,3 +72,99 @@ def test_density_and_representatives(rng):
     reps = select_representatives(feats, np.asarray(assign), dens, 2)
     assert (reps >= 0).all()
     assert assign[reps[0]] == 0 and assign[reps[1]] == 1
+
+
+# ---------------------------------------------------------------------------
+# Regularized USL selection (ref nn_utils_imagenet.py:105-213)
+# ---------------------------------------------------------------------------
+
+def _oracle_selection(feats, labels, neighbors_dist, num_clusters,
+                      final_sample_num, iters, w, momentum, horizon_num,
+                      alpha, exclude_same_cluster):
+    """Dense numpy transcription of the published USL selection protocol,
+    as an independent oracle for the chunked/top_k device implementation."""
+    n = len(feats)
+    reg = np.zeros(n)
+    selected = []
+    for it in range(iters):
+        selected = []
+        for c in range(num_clusters):
+            if len(selected) == final_sample_num:
+                break
+            members = np.nonzero(labels == c)[0]
+            if len(members) == 0:
+                continue
+            scores = 1.0 / neighbors_dist[members] - w * reg[members]
+            selected.append(members[np.argmax(scores)])
+        if it < iters - 1:
+            # f32 matmul-form distances: same arithmetic as the device path
+            # (the oracle checks the algorithm, not float precision)
+            sel = feats[selected]
+            d2 = np.maximum(
+                (feats ** 2).sum(-1)[:, None]
+                - 2 * feats @ sel.T
+                + (sel ** 2).sum(-1)[None, :],
+                0.0,
+            ).astype(np.float32)
+            order = np.argsort(d2, axis=1, kind="stable")[:, :min(horizon_num, len(selected))]
+            dmin = np.take_along_axis(d2, order, axis=1)
+            if exclude_same_cluster:
+                dmin = np.where(order == labels[:, None], 1e10, dmin)
+            else:
+                # distance-to-oneself ignored (the published algorithm's
+                # d2 == 0 rule, expressed as an index identity)
+                sel_arr = np.asarray(selected)
+                is_self = sel_arr[order] == np.arange(len(feats))[:, None]
+                dmin = np.where(is_self | (dmin == 0.0), 1e10, dmin)
+            new_reg = (1.0 / dmin ** alpha).sum(1)
+            reg = reg * momentum + new_reg * (1 - momentum)
+    return np.asarray(selected, np.int64)
+
+
+def test_regularized_selection_matches_oracle(rng):
+    from u2seg_tpu.pseudo.kmeans import select_representatives_regularized
+
+    feats, _ = gaussian_clusters(rng, k=6, per=30, d=8, spread=0.4)
+    _, assign = kmeans(jax.random.PRNGKey(1), jnp.array(feats), 6,
+                       num_iters=20, metric="l2")
+    assign = np.asarray(assign)
+    dists, _ = knn(jnp.array(feats), k=5, metric="l2")
+    nd = np.asarray(density_from_knn(dists, metric="l2"), np.float64) + 1e-3
+
+    for excl in (True, False):
+        got = select_representatives_regularized(
+            feats, assign, nd, num_clusters=6, final_sample_num=6,
+            iters=3, w=0.5, momentum=0.25, horizon_num=4, alpha=1.0,
+            exclude_same_cluster=excl,
+        )
+        want = _oracle_selection(
+            feats.astype(np.float32), assign, nd, 6, 6, 3, 0.5, 0.25, 4,
+            1.0, excl,
+        )
+        np.testing.assert_array_equal(got, want)
+
+
+def test_regularized_selection_spreads_picks(rng):
+    """With a strong regularizer the re-selection must move picks apart
+    when two clusters' densest points nearly coincide."""
+    from u2seg_tpu.pseudo.kmeans import select_representatives_regularized
+
+    rng = np.random.RandomState(7)
+    # two clusters whose densest members are adjacent near the origin
+    a = np.concatenate([rng.randn(20, 4) * 0.02,
+                        rng.randn(5, 4) * 0.02 + 3.0]).astype(np.float32)
+    b = np.concatenate([rng.randn(20, 4) * 0.02 + 0.05,
+                        rng.randn(5, 4) * 0.02 - 3.0]).astype(np.float32)
+    feats = np.concatenate([a, b])
+    labels = np.repeat([0, 1], 25)
+    dists, _ = knn(jnp.array(feats), k=5, metric="l2")
+    nd = np.asarray(density_from_knn(dists, metric="l2"), np.float64) + 1e-4
+
+    first = select_representatives_regularized(
+        feats, labels, nd, 2, iters=1)
+    reg = select_representatives_regularized(
+        feats, labels, nd, 2, iters=3, w=10.0, horizon_num=2,
+        exclude_same_cluster=False)
+    d_first = np.linalg.norm(feats[first[0]] - feats[first[1]])
+    d_reg = np.linalg.norm(feats[reg[0]] - feats[reg[1]])
+    assert d_reg >= d_first

@@ -94,6 +94,25 @@ def stage_cluster(args):
         json.dump(decode, fp)
     logger.info("wrote %s (%d entries)", args.decode_json, len(decode))
 
+    if args.select_json and len(feats):
+        # USL regularized representative selection (ref usl-imagenet.py
+        # :139-153 with the ImageNet_usl_dino_0.2.yaml REG settings)
+        from u2seg_tpu.pseudo.kmeans import (
+            select_representatives_regularized,
+        )
+
+        nd = np.asarray(density_from_knn(dists), np.float64)
+        sel = select_representatives_regularized(
+            feats, np.asarray(assignments), np.maximum(nd, 1e-12),
+            args.num_clusters, iters=args.reg_iters, w=args.reg_w,
+            momentum=args.reg_momentum, horizon_num=args.reg_horizon,
+            exclude_same_cluster=True,
+        )
+        with open(args.select_json, "w") as fp:
+            json.dump({"selected_keys": [keys[i] for i in sel],
+                       "selected_indices": sel.tolist()}, fp)
+        logger.info("wrote %s (%d selected)", args.select_json, len(sel))
+
 
 def stage_assign(args):
     from u2seg_tpu.pseudo.assembly import assign_cluster_ids
@@ -194,6 +213,12 @@ def main():
     p.add_argument("--knn", type=int, default=20)
     p.add_argument("--kmeans-iters", type=int, default=100)
     p.add_argument("--decode-json", default="cluster_labels_decode.json")
+    p.add_argument("--select-json", default="",
+                   help="optional USL selected-representatives output")
+    p.add_argument("--reg-iters", type=int, default=2)
+    p.add_argument("--reg-w", type=float, default=0.05)
+    p.add_argument("--reg-momentum", type=float, default=0.0)
+    p.add_argument("--reg-horizon", type=int, default=32)
     # stage 2
     p.add_argument("--instances-json", default="datasets/cutler_instances.json")
     p.add_argument("--output-json", default="cluster_curated.json")

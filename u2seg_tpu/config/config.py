@@ -201,6 +201,8 @@ class SolverConfig:
     amp: bool = True                          # on TPU: bf16 compute
     checkpoint_period: int = 10000
     bias_lr_factor: float = 1.0
+    weight_decay_bias: Optional[float] = None   # None -> weight_decay
+    nesterov: bool = False
     scheduler: str = "WarmupMultiStepLR"
 
 

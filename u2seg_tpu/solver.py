@@ -71,12 +71,60 @@ def build_lr_schedule(cfg: SolverConfig) -> Callable:
     raise ValueError(f"Unknown scheduler {cfg.scheduler}")
 
 
-def build_optimizer(cfg: SolverConfig) -> optax.GradientTransformation:
-    """SGD + momentum + weight decay + grad clipping + LR schedule.
+def param_group_labels(params) -> dict:
+    """Classify every param leaf as "norm" / "bias" / "regular".
 
-    The reference applies weight decay inside SGD (L2) with per-param
-    overrides; we use additive decay scaled by lr (same as torch SGD wd
-    semantics: g += wd * w before the momentum/lr update).
+    Counterpart of the module-type walk in the reference
+    ``get_default_optimizer_params`` (solver/build.py:142-253): flax norm
+    layers (BatchNorm/GroupNorm/LayerNorm) expose exactly a ``scale``
+    (+``bias``) pair, while conv/dense layers expose ``kernel`` (+``bias``) —
+    so a dict containing ``scale`` and no ``kernel`` is a norm module and
+    BOTH its leaves are "norm" (matching the reference, where the module
+    isinstance check fires before the name-based bias override, and the
+    u2seg recipe sets no bias override).
+    """
+
+    def walk(d):
+        keys = set(d.keys())
+        is_norm = "scale" in keys and "kernel" not in keys
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict) or type(v).__name__ == "FrozenDict":
+                out[k] = walk(v)
+            elif is_norm:
+                out[k] = "norm"
+            elif k == "bias":
+                out[k] = "bias"
+            else:
+                out[k] = "regular"
+        return out
+
+    return walk(params)
+
+
+def _group_mask(group: str):
+    """Callable mask (resolved against the actual params at optimizer init)
+    selecting one param group."""
+
+    def mask(params):
+        import jax
+
+        labels = param_group_labels(params)
+        return jax.tree_util.tree_map(lambda l: l == group, labels)
+
+    return mask
+
+
+def build_optimizer(cfg: SolverConfig) -> optax.GradientTransformation:
+    """SGD + momentum + per-group weight decay + grad clipping + LR schedule.
+
+    The reference applies weight decay inside SGD (L2) with per-param-group
+    overrides (solver/build.py:119-253): norm-layer params use
+    ``weight_decay_norm`` (0.0 in the u2seg recipe), bias params use
+    ``weight_decay_bias`` (None -> base) with lr scaled by
+    ``bias_lr_factor``. We use additive decay before the momentum update
+    (same as torch SGD wd semantics: g += wd * w), with optax callable
+    masks so no param pytree is needed at build time.
     """
     schedule = build_lr_schedule(cfg)
     parts = []
@@ -85,7 +133,24 @@ def build_optimizer(cfg: SolverConfig) -> optax.GradientTransformation:
             parts.append(optax.clip_by_global_norm(cfg.clip_value))
         else:
             parts.append(optax.clip(cfg.clip_value))
-    if cfg.weight_decay:
-        parts.append(optax.add_decayed_weights(cfg.weight_decay))
-    parts.append(optax.sgd(learning_rate=schedule, momentum=cfg.momentum))
+    wd = cfg.weight_decay
+    wd_norm = wd if cfg.weight_decay_norm is None else cfg.weight_decay_norm
+    wd_bias = wd if cfg.weight_decay_bias is None else cfg.weight_decay_bias
+    if wd == wd_norm == wd_bias:
+        if wd:
+            parts.append(optax.add_decayed_weights(wd))
+    else:
+        for value, group in ((wd, "regular"), (wd_norm, "norm"),
+                             (wd_bias, "bias")):
+            if value:
+                parts.append(
+                    optax.add_decayed_weights(value, mask=_group_mask(group))
+                )
+    parts.append(optax.sgd(
+        learning_rate=schedule, momentum=cfg.momentum, nesterov=cfg.nesterov,
+    ))
+    if cfg.bias_lr_factor != 1.0:
+        parts.append(optax.masked(
+            optax.scale(cfg.bias_lr_factor), _group_mask("bias")
+        ))
     return optax.chain(*parts)
