@@ -176,6 +176,22 @@ class InputConfig:
     random_flip: bool = True
     mask_format: str = "bitmask"
     size_divisibility: int = 32
+    # INPUT.CROP recipe (ref defaults.py INPUT.CROP, dataset_mapper.py:49-56)
+    crop_enabled: bool = False
+    crop_type: str = "relative_range"
+    crop_size: Tuple[float, float] = (0.9, 0.9)
+    crop_single_category_max_area: float = 1.0
+    # large-scale jitter (ResizeScale + FixedSizeCrop, LazyConfig LSJ recipe)
+    lsj: bool = False
+    lsj_min_scale: float = 0.1
+    lsj_max_scale: float = 2.0
+    lsj_image_size: int = 1024
+    # optional extras
+    rotation_enabled: bool = False
+    rotation_angles: Tuple[float, ...] = (-30.0, 30.0)
+    rotation_expand: bool = True
+    rotation_sample_style: str = "range"
+    color_aug: bool = False
     # static padded shapes (H, W) buckets for TPU training; images are
     # resized by the multi-scale policy then padded into one of these
     pad_buckets: Tuple[Tuple[int, int], ...] = ((800, 1344), (1344, 800), (1056, 1056))

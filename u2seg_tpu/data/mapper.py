@@ -84,7 +84,7 @@ class DatasetMapper:
             with Image.open(dd["sem_seg_file_name"]) as s:
                 sem_seg = np.asarray(s).astype(np.uint8).copy()
 
-        tfm = self.augs.get_transform(image, rng)
+        tfm = self.augs.get_transform(image, rng, sem_seg=sem_seg)
         image = tfm.apply_image(image)
         h, w = image.shape[:2]
         if sem_seg is not None:
