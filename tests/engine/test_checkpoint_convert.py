@@ -154,21 +154,22 @@ def build_fake_ref(params_flat, stats_flat):
         ("roi_heads", "mask_head", "predictor", "bias")
     ]
 
-    # sem-seg head
-    for stage, d2s, head_len in [("p2", "res2", 1), ("p3", "res3", 1),
-                                 ("p4", "res4", 2), ("p5", "res5", 3)]:
+    # sem-seg head: real d2 names heads by FEATURE with convs at even
+    # Sequential indices (see tests/golden/fixtures/d2_panoptic_fpn_state.npz)
+    for stage, head_len in [("p2", 1), ("p3", 1), ("p4", 2), ("p5", 3)]:
         for j in range(head_len):
             key = ("sem_seg_head", f"{stage}_conv{j}", "kernel")
             if key not in params_flat:
                 continue
-            ref[f"sem_seg_head.{d2s}_head.{j}.weight"] = inv_conv(params_flat[key])
+            src = f"sem_seg_head.{stage}.{2 * j}"
+            ref[f"{src}.weight"] = inv_conv(params_flat[key])
             bias_key = ("sem_seg_head", f"{stage}_conv{j}", "bias")
             if bias_key in params_flat:  # absent when the conv is norm-fused
-                ref[f"sem_seg_head.{d2s}_head.{j}.bias"] = params_flat[bias_key]
+                ref[f"{src}.bias"] = params_flat[bias_key]
             gn = ("sem_seg_head", f"{stage}_gn{j}", "scale")
             if gn in params_flat:
-                ref[f"sem_seg_head.{d2s}_head.{j}.norm.weight"] = params_flat[gn]
-                ref[f"sem_seg_head.{d2s}_head.{j}.norm.bias"] = params_flat[
+                ref[f"{src}.norm.weight"] = params_flat[gn]
+                ref[f"{src}.norm.bias"] = params_flat[
                     ("sem_seg_head", f"{stage}_gn{j}", "bias")
                 ]
     ref["sem_seg_head.predictor.weight"] = inv_conv(

@@ -240,13 +240,15 @@ def convert_d2_panoptic_fpn(
             take("roi_heads.mask_head.deconv.bias"))
     conv(("roi_heads", "mask_head", "predictor"), "roi_heads.mask_head.predictor")
 
-    # sem-seg head: d2 names sem_seg_head.{res}_head.{j}.{conv|norm}
+    # sem-seg head: d2 registers each scale head under the FEATURE name
+    # (semantic_seg.py:220 add_module(in_feature, Sequential(...))), with
+    # convs at even Sequential indices (conv, upsample, conv, upsample, ...)
+    # and the GN affine inside the conv module's .norm. Verified against a
+    # real state dict (tests/golden/fixtures/d2_panoptic_fpn_state.npz).
     for stage, head_len in [("p2", 1), ("p3", 1), ("p4", 2), ("p5", 3)]:
-        d2s = {"p2": "res2", "p3": "res3", "p4": "res4", "p5": "res5"}[stage]
         for j in range(head_len):
-            # d2 scale-head item j: index j in Sequential (conv at .{j}.0 ?)
-            for cand in (f"sem_seg_head.{d2s}_head.{j}",
-                         f"sem_seg_head.{d2s}_head.{j}.0"):
+            for cand in (f"sem_seg_head.{stage}.{2 * j}",
+                         f"sem_seg_head.{stage}.{j}.0"):
                 if cand + ".weight" in ref:
                     conv(("sem_seg_head", f"{stage}_conv{j}"), cand)
                     # GN affine

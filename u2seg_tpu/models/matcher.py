@@ -55,7 +55,11 @@ def match(
     if allow_low_quality_matches:
         # per-gt max over predictions; every pred achieving it becomes positive
         per_gt_max = jnp.max(q, axis=1, keepdims=True)  # (N_gt, 1)
-        is_best = (q >= per_gt_max) & (per_gt_max > 0) & gt_valid[:, None]
+        # NOTE: no per_gt_max > 0 guard — the reference promotes every
+        # prediction tied at a gt's max even when that max is 0 (a gt
+        # overlapping nothing marks ALL predictions positive; verified
+        # against matcher.py:96 via tests/golden/fixtures/matcher.npz)
+        is_best = (q >= per_gt_max) & gt_valid[:, None]
         pred_is_low_quality = jnp.any(is_best, axis=0)
         match_labels = jnp.where(pred_is_low_quality, jnp.int8(1), match_labels)
 
