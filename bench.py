@@ -44,6 +44,86 @@ def _ensure_tpu_or_reexec(max_tries: int = 5, wait_s: int = 90) -> None:
         os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
+def bench_train():
+    """Train-step throughput on the local chip (``bench.py --train``).
+
+    Counterpart of the reference's headline number: Mask R-CNN R50-FPN
+    62 img/s on 8xV100 (docs/notes/benchmarks.md:10), i.e. 7.75 img/s/GPU.
+    Runs the full flagship config (cascade PanopticFPN, 800 classes, SyncBN)
+    at the training bucket with the recipe's per-device batch (16/8 = 2).
+    """
+    _ensure_tpu_or_reexec()
+    import jax
+    import jax.numpy as jnp
+
+    from u2seg_tpu.config.config import Config
+    from u2seg_tpu.engine.trainer import Batch, create_train_state, make_train_step
+    from u2seg_tpu.parallel.mesh import create_mesh, replicated
+    from u2seg_tpu.solver import build_optimizer
+    from u2seg_tpu.structures.instances import GtInstances
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    cfg = Config()
+    b, h, w = 2, 800, 1344
+    g, patch = cfg.model.max_gt_instances, 64
+    rng = np.random.RandomState(0)
+    images = jnp.array(rng.rand(b, h, w, 3).astype(np.float32) * 255)
+    sizes = jnp.array([[h, w]] * b, dtype=jnp.int32)
+    n_real = 20  # realistic instance count; the rest padding
+    xy = rng.rand(b, g, 2) * np.array([w / 2, h / 2])
+    wh = rng.rand(b, g, 2) * 200 + 16
+    boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+    valid = np.zeros((b, g), bool)
+    valid[:, :n_real] = True
+    gt = GtInstances(
+        boxes=jnp.array(boxes),
+        classes=jnp.array(
+            rng.randint(0, cfg.model.roi_heads.num_classes, (b, g)), jnp.int32
+        ),
+        valid=jnp.array(valid),
+        masks=jnp.array((rng.rand(b, g, patch, patch) > 0.4).astype(np.float32)),
+    )
+    sem = jnp.array(
+        rng.randint(0, cfg.model.sem_seg_head.num_classes, (b, h, w)), jnp.int32
+    )
+    batch = Batch(images=images, image_sizes=sizes, gt=gt, sem_seg=sem)
+
+    mesh = create_mesh(1)
+    tx = build_optimizer(cfg.solver)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), batch, tx)
+    state = jax.device_put(state, replicated(mesh))
+    step = make_train_step(model, tx, mesh, donate=True)
+
+    def sync(m):
+        # the tunnel backend's block_until_ready can return early; a host
+        # fetch of a scalar is the only reliable completion barrier
+        return float(np.asarray(m["total_loss"]))
+
+    key = jax.random.PRNGKey(1)
+    state, metrics = step(state, batch, key)    # compile
+    sync(metrics)
+    state, metrics = step(state, batch, key)    # settle
+    sync(metrics)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch, key)
+    sync(metrics)
+    dt = time.perf_counter() - t0
+
+    imgs_per_s = b * iters / dt
+    baseline_per_chip = 62.0 / 8.0
+    print(json.dumps({
+        "metric": "coco_panoptic_train_imgs_per_sec_per_chip",
+        "value": round(imgs_per_s, 2),
+        "unit": "img/s",
+        "vs_baseline": round(imgs_per_s / baseline_per_chip, 4),
+    }))
+
+
 def main():
     _ensure_tpu_or_reexec()
     import jax
@@ -107,4 +187,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--train" in sys.argv:
+        bench_train()
+    else:
+        main()

@@ -8,6 +8,8 @@ import numpy as np
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight jit compiles (see pytest.ini / dev/run_tests.sh)
+
 from u2seg_tpu.config.testing import tiny_batch, tiny_spmd_config
 from u2seg_tpu.engine import hooks as hooks_lib
 from u2seg_tpu.engine.train_loop import DefaultTrainer

@@ -5,6 +5,8 @@ import numpy as np
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight jit compiles (see pytest.ini / dev/run_tests.sh)
+
 from u2seg_tpu.config.testing import tiny_batch, tiny_spmd_config
 from u2seg_tpu.engine.trainer import create_train_state, make_train_step
 from u2seg_tpu.parallel.mesh import create_mesh

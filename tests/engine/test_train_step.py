@@ -4,6 +4,9 @@ Uses the canonical tiny SPMD config (config.testing) — identical to the
 driver's ``dryrun_multichip`` — so all heavy compiles share one persistent
 cache entry.
 """
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight jit compiles (see pytest.ini / dev/run_tests.sh)
 import numpy as np
 import jax
 

@@ -3,6 +3,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight jit compiles (see pytest.ini / dev/run_tests.sh)
+
 from u2seg_tpu.models.swin import SwinTransformer
 from u2seg_tpu.models.vit import ViT, ViTDet
 

@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight jit compiles (see pytest.ini / dev/run_tests.sh)
+
 from u2seg_tpu.config.config import Config
 from u2seg_tpu.models.panoptic_fpn import PanopticFPN, combine_semantic_and_instance
 from u2seg_tpu.structures.instances import Detections, GtInstances

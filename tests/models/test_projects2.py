@@ -1,4 +1,7 @@
 """Tests for the PointSup / Rethinking-BN / TensorMask project ports."""
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight jit compiles (see pytest.ini / dev/run_tests.sh)
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -1,3 +1,6 @@
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight jit compiles (see pytest.ini / dev/run_tests.sh)
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight jit compiles (see pytest.ini / dev/run_tests.sh)
+
 import u2seg_tpu.ops.roi_align_pallas as rap
 from u2seg_tpu.ops.roi_align import roi_align
 
