@@ -138,7 +138,7 @@ def main():
     cfg = Config()
     model = build_model(cfg)
 
-    b, h, w = 4, 800, 1344
+    b, h, w = 8, 800, 1344   # throughput-optimal batch on v5e
     rng = np.random.RandomState(0)
     images = jnp.array(rng.rand(b, h, w, 3).astype(np.float32) * 255)
     sizes = jnp.array([[h, w]] * b, dtype=jnp.int32)

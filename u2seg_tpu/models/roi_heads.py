@@ -420,10 +420,16 @@ class StandardROIHeads(nn.Module):
                 multilevel_roi_align_train,
             )
 
-            fn = multilevel_roi_align_train if train else multilevel_roi_align_pallas
-            return fn(
+            if train:
+                return multilevel_roi_align_train(
+                    feats, flat, bidx, resolution, tuple(self._strides()),
+                    sampling_ratio=sampling_ratio,
+                )
+            # emit the heads' compute dtype directly: halves the pooled
+            # HBM write and kills a 400MB/stage f32->bf16 convert
+            return multilevel_roi_align_pallas(
                 feats, flat, bidx, resolution, tuple(self._strides()),
-                sampling_ratio=sampling_ratio,
+                sampling_ratio=sampling_ratio, out_dtype=self.dtype,
             )
         return multilevel_roi_align(
             feats, flat, bidx, resolution, self._strides(),

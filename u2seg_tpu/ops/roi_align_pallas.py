@@ -352,7 +352,7 @@ def _ml_kernel(
             preferred_element_type=jnp.float32,
         )                                                  # (g*s, s*C): [q,n2 ; n1,c]
         out = out.reshape(g, s, s, c).transpose(0, 2, 1, 3)
-        out_ref[:] = out
+        out_ref[:] = out.astype(out_ref.dtype)
 
     @pl.when(parity)
     def _():
@@ -466,6 +466,7 @@ def multilevel_roi_align_pallas(
     sampling_ratio: int = 2,
     canonical_box_size: float = 224.0,
     canonical_level: int = 4,
+    out_dtype=None,            # None -> float32; bf16 on the inference path
 ) -> jnp.ndarray:
     """FPN ROIPooler as one Pallas kernel: scalar-prefetched level routing,
     one WINxWIN window DMA from the assigned level, separable-matmul
@@ -476,13 +477,14 @@ def multilevel_roi_align_pallas(
     return _ml_pallas_ext(
         features, boxes, batch_idx, output_size, strides,
         sampling_ratio, canonical_box_size, canonical_level,
+        out_dtype=out_dtype,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("output_size", "strides", "sampling_ratio",
-                     "canonical_box_size", "canonical_level"),
+                     "canonical_box_size", "canonical_level", "out_dtype"),
 )
 def _ml_pallas_ext(
     features,                  # EXTENDED list (last level is virtual)
@@ -493,6 +495,7 @@ def _ml_pallas_ext(
     sampling_ratio: int = 2,
     canonical_box_size: float = 224.0,
     canonical_level: int = 4,
+    out_dtype=None,
 ) -> jnp.ndarray:
     if sampling_ratio <= 0:
         sampling_ratio = 2
@@ -547,7 +550,8 @@ def _ml_pallas_ext(
     )
     pooled = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((r_pad, s, s, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (r_pad, s, s, c), jnp.dtype(out_dtype or jnp.float32)),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             # v5e VMEM is far larger than the compiler's conservative 16MB
