@@ -24,6 +24,47 @@ def _resize_bilinear(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]), method="bilinear")
 
 
+def _upnx_axis(x: jnp.ndarray, axis: int, s: int) -> jnp.ndarray:
+    """Exact integer-scale half-pixel bilinear upsample along one axis.
+
+    jax.image.resize("bilinear") at integer scale s samples output center i
+    at input coord (i + 0.5)/s - 0.5 (edge-clamped): each of the s phases is
+    a fixed two-tap stencil. resize lowers to DENSE (out, in) matmuls that
+    dominate the sem-seg head on TPU; the phase-tap interleave is the same
+    arithmetic as a few VPU passes.
+    """
+    lo = jnp.concatenate(
+        [jax.lax.slice_in_dim(x, 0, 1, axis=axis),
+         jax.lax.slice_in_dim(x, 0, x.shape[axis] - 1, axis=axis)], axis=axis
+    )
+    hi = jnp.concatenate(
+        [jax.lax.slice_in_dim(x, 1, x.shape[axis], axis=axis),
+         jax.lax.slice_in_dim(x, x.shape[axis] - 1, x.shape[axis], axis=axis)],
+        axis=axis,
+    )
+    phases = []
+    for p in range(s):
+        o = (p + 0.5) / s - 0.5
+        if o < 0:
+            phases.append((-o) * lo + (1.0 + o) * x)
+        else:
+            phases.append((1.0 - o) * x + o * hi)
+    stacked = jnp.stack(phases, axis=axis + 1)        # (..., n, s, ...)
+    new_shape = x.shape[:axis] + (s * x.shape[axis],) + x.shape[axis + 1:]
+    return stacked.reshape(new_shape)
+
+
+def _upsample2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, 2H, 2W, C), identical to jax.image.resize
+    bilinear (separable half-pixel taps, edge-clamped)."""
+    return _upnx_axis(_upnx_axis(x, 1, 2), 2, 2)
+
+
+def upsample_bilinear(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, sH, sW, C) exact bilinear integer upsample."""
+    return _upnx_axis(_upnx_axis(x, 1, s), 2, s)
+
+
 class SemSegFPNHead(nn.Module):
     cfg: SemSegHeadConfig
     dtype: Any = jnp.float32
@@ -53,7 +94,7 @@ class SemSegFPNHead(nn.Module):
                                      name=f"{name}_gn{k}")(x)
                 x = nn.relu(x)
                 if stride != c.common_stride:
-                    x = _resize_bilinear(x, x.shape[1] * 2, x.shape[2] * 2)
+                    x = _upsample2x_bilinear(x)
                     stride //= 2
             summed = x if summed is None else summed + x
         logits = nn.Conv(
@@ -63,10 +104,7 @@ class SemSegFPNHead(nn.Module):
 
         if train and targets is not None:
             # loss at full input resolution (4x bilinear + CE, ref :255-266)
-            full = _resize_bilinear(
-                logits, logits.shape[1] * c.common_stride,
-                logits.shape[2] * c.common_stride,
-            )
+            full = upsample_bilinear(logits, c.common_stride)
             loss = L.softmax_ce_ignore(full, targets, c.ignore_value)
             return logits, {"loss_sem_seg": loss * c.loss_weight}
         # inference: stay at the common stride — panoptic fusion runs at
