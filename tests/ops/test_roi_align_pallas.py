@@ -236,3 +236,34 @@ def test_train_pooler_grad_with_virtual_level_box(rng):
     for gt, gr in zip(g_train, g_ref):
         np.testing.assert_allclose(np.asarray(gt), np.asarray(gr),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_two_tier_matches_single_tier():
+    """The size-sorted small/large window split must be bit-identical to the
+    single-tier kernel for mixed, all-small, and all-large populations."""
+    from u2seg_tpu.ops.roi_align_pallas import _append_virtual_level, _ml_pallas_ext
+
+    rng = np.random.RandomState(11)
+    b, c = 2, 32
+    feats = [jnp.asarray(rng.randn(b, 64, 96, c).astype(np.float32)),
+             jnp.asarray(rng.randn(b, 32, 48, c).astype(np.float32)),
+             jnp.asarray(rng.randn(b, 16, 24, c).astype(np.float32))]
+    strides = (4, 8, 16)
+    fx, sx = _append_virtual_level(feats, strides)
+
+    def boxes_of(sizes, n):
+        xy = rng.rand(n, 2).astype(np.float32) * 200
+        wh = rng.choice(sizes, size=(n, 2)).astype(np.float32)
+        return jnp.asarray(np.concatenate([xy, xy + wh], 1))
+
+    cases = [
+        boxes_of([16.0, 40.0, 90.0, 200.0], 37),   # mixed
+        boxes_of([12.0, 20.0], 16),                # all small
+        boxes_of([180.0, 240.0], 16),              # all large
+    ]
+    for i, bx in enumerate(cases):
+        bidx = jnp.asarray(rng.randint(0, b, len(bx)), jnp.int32)
+        one = _ml_pallas_ext(fx, bx, bidx, 7, sx, 2, two_tier=False)
+        two = _ml_pallas_ext(fx, bx, bidx, 7, sx, 2, two_tier=True)
+        np.testing.assert_allclose(np.asarray(two), np.asarray(one),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"case {i}")
