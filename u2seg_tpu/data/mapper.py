@@ -95,11 +95,12 @@ class DatasetMapper:
         boxes = np.zeros((g, 4), np.float32)
         classes = np.zeros((g,), np.int32)
         valid = np.zeros((g,), bool)
+        ann_index = np.full((g,), -1, np.int32)
         patches = np.zeros((g, self.mask_patch, self.mask_patch), np.float32)
 
         anns = [a for a in dd.get("annotations", []) if a.get("iscrowd", 0) == 0]
         kept = 0
-        for ann in anns:
+        for ann_i, ann in enumerate(anns):
             if kept >= g:
                 logger.warning(
                     "image %s has more than %d instances; truncating",
@@ -133,6 +134,7 @@ class DatasetMapper:
             boxes[kept] = box
             classes[kept] = ann["category_id"]
             valid[kept] = True
+            ann_index[kept] = ann_i   # original (non-crowd) annotation slot
             kept += 1
 
         if self.is_train and kept == 0 and anns:
@@ -158,6 +160,7 @@ class DatasetMapper:
             "gt_boxes": boxes,
             "gt_classes": classes,
             "gt_valid": valid,
+            "gt_ann_index": ann_index,
             "gt_masks": patches,
             "image_id": dd.get("image_id", 0),
             "height": dd.get("height", orig_h),
