@@ -21,17 +21,33 @@ from u2seg_tpu.evaluation import rle as rle_codec
 from u2seg_tpu.evaluation.coco_api import COCO
 
 
+# COCO 17-keypoint OKS falloff constants (pycocotools cocoeval.py:523)
+COCO_KPT_OKS_SIGMAS = np.array(
+    [.26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62,
+     1.07, 1.07, .87, .87, .89, .89]) / 10.0
+
+
 class Params:
     def __init__(self, iouType="segm"):
         self.imgIds: List[int] = []
         self.catIds: List[int] = []
         self.iouThrs = np.linspace(0.5, 0.95, 10)
         self.recThrs = np.linspace(0.0, 1.00, 101)
-        self.maxDets = [1, 10, 100]
-        self.areaRng = [
-            [0, 1e5 ** 2], [0, 32 ** 2], [32 ** 2, 96 ** 2], [96 ** 2, 1e5 ** 2]
-        ]
-        self.areaRngLbl = ["all", "small", "medium", "large"]
+        if iouType == "keypoints":
+            # setKpParams (pycocotools cocoeval.py:510-524)
+            self.maxDets = [20]
+            self.areaRng = [
+                [0, 1e5 ** 2], [32 ** 2, 96 ** 2], [96 ** 2, 1e5 ** 2]
+            ]
+            self.areaRngLbl = ["all", "medium", "large"]
+            self.kpt_oks_sigmas = COCO_KPT_OKS_SIGMAS.copy()
+        else:
+            self.maxDets = [1, 10, 100]
+            self.areaRng = [
+                [0, 1e5 ** 2], [0, 32 ** 2], [32 ** 2, 96 ** 2],
+                [96 ** 2, 1e5 ** 2]
+            ]
+            self.areaRngLbl = ["all", "small", "medium", "large"]
         self.useCats = 1
         self.iouType = iouType
 
@@ -68,6 +84,9 @@ class COCOeval:
                 ann["rle"] = self.cocoDt.annToRLE(ann)
         for gt in gts:
             gt["ignore"] = gt.get("ignore", 0) or gt.get("iscrowd", 0)
+            if p.iouType == "keypoints":
+                # GT without labeled keypoints never scores (cocoeval:116)
+                gt["ignore"] = gt.get("num_keypoints", 0) == 0 or gt["ignore"]
         self._gts = defaultdict(list)
         self._dts = defaultdict(list)
         for gt in gts:
@@ -127,7 +146,43 @@ class COCOeval:
             if _native.available():
                 return _native.bbox_iou(d, g, iscrowd)
             return _bbox_iou_xywh(d, g, iscrowd)
+        elif p.iouType == "keypoints":
+            return self.computeOks(dt, gt)
         raise ValueError(p.iouType)
+
+    def computeOks(self, dts, gts):
+        """Object-keypoint-similarity matrix (pycocotools cocoeval.py
+        computeOks :203-252): per GT keypoint k, oks contribution
+        exp(-d^2 / (2 * area * (2*sigma_k)^2)) averaged over labeled
+        keypoints; for GT with no labeled keypoints, distances are
+        measured to the 2x-expanded GT box."""
+        p = self.params
+        sigmas = np.asarray(p.kpt_oks_sigmas, np.float64)
+        variances = (sigmas * 2.0) ** 2
+        k = len(sigmas)
+        ious = np.zeros((len(dts), len(gts)))
+        for j, gt in enumerate(gts):
+            g = np.asarray(gt["keypoints"], np.float64)
+            xg, yg, vg = g[0::3], g[1::3], g[2::3]
+            k1 = np.count_nonzero(vg > 0)
+            bb = gt["bbox"]
+            x0, x1 = bb[0] - bb[2], bb[0] + bb[2] * 2
+            y0, y1 = bb[1] - bb[3], bb[1] + bb[3] * 2
+            for i, dt in enumerate(dts):
+                d = np.asarray(dt["keypoints"], np.float64)
+                xd, yd = d[0::3], d[1::3]
+                if k1 > 0:
+                    dx, dy = xd - xg, yd - yg
+                else:
+                    z = np.zeros((k,))
+                    dx = np.maximum(z, x0 - xd) + np.maximum(z, xd - x1)
+                    dy = np.maximum(z, y0 - yd) + np.maximum(z, yd - y1)
+                e = ((dx ** 2 + dy ** 2) / variances
+                     / (gt["area"] + np.spacing(1)) / 2.0)
+                if k1 > 0:
+                    e = e[vg > 0]
+                ious[i, j] = np.sum(np.exp(-e)) / e.shape[0]
+        return ious
 
     def evaluateImg(self, imgId, catId, aRng, maxDet):
         p = self.params
@@ -333,6 +388,23 @@ class COCOeval:
             if len(s[s > -1]) == 0:
                 return -1.0
             return float(np.mean(s[s > -1]))
+
+        if self.params.iouType == "keypoints":
+            # pycocotools summarizeKps (cocoeval.py:489-507)
+            m = self.params.maxDets[0]
+            self.stats = np.array([
+                _summarize(1, maxDets=m),
+                _summarize(1, iouThr=0.5, maxDets=m),
+                _summarize(1, iouThr=0.75, maxDets=m),
+                _summarize(1, areaRng="medium", maxDets=m),
+                _summarize(1, areaRng="large", maxDets=m),
+                _summarize(0, maxDets=m),
+                _summarize(0, iouThr=0.5, maxDets=m),
+                _summarize(0, iouThr=0.75, maxDets=m),
+                _summarize(0, areaRng="medium", maxDets=m),
+                _summarize(0, areaRng="large", maxDets=m),
+            ])
+            return self.stats
 
         stats = np.zeros((12,))
         stats[0] = _summarize(1)

@@ -71,6 +71,7 @@ class COCOEvaluator(DatasetEvaluator):
             scores = np.asarray(inst["scores"], dtype=np.float64)
             classes = np.asarray(inst["classes"], dtype=np.int64)
             rles = inst.get("rles")
+            kpts = inst.get("keypoints")   # (K, 17, 3) x, y, score
             for i in range(len(scores)):
                 x0, y0, x1, y1 = boxes[i]
                 rec = {
@@ -81,6 +82,12 @@ class COCOEvaluator(DatasetEvaluator):
                 }
                 if rles is not None:
                     rec["segmentation"] = rles[i]
+                if kpts is not None:
+                    # instances_to_coco_json shifts by 0.5 back to the
+                    # pixel-corner convention (coco_evaluation.py:518-524)
+                    kp = np.asarray(kpts[i], np.float64).copy()
+                    kp[:, :2] -= 0.5
+                    rec["keypoints"] = kp.reshape(-1).tolist()
                 self._predictions.append(rec)
 
     # ------------------------------------------------------------------
@@ -133,15 +140,25 @@ class COCOEvaluator(DatasetEvaluator):
         for task in self.tasks:
             if task == "segm" and "segmentation" not in results[0]:
                 continue
+            if task == "keypoints" and "keypoints" not in results[0]:
+                continue
             coco_dt = self._coco_gt.loadRes(results)
             E = COCOeval(self._coco_gt, coco_dt, iouType=task)
-            E.params.maxDets = self.max_dets
+            if task != "keypoints":
+                E.params.maxDets = self.max_dets
             E.evaluate()
             E.accumulate()
             stats = E.summarize()
-            out[task] = {
-                "AP": stats[0] * 100, "AP50": stats[1] * 100,
-                "AP75": stats[2] * 100, "APs": stats[3] * 100,
-                "APm": stats[4] * 100, "APl": stats[5] * 100,
-            }
+            if task == "keypoints":
+                out[task] = {
+                    "AP": stats[0] * 100, "AP50": stats[1] * 100,
+                    "AP75": stats[2] * 100, "APm": stats[3] * 100,
+                    "APl": stats[4] * 100,
+                }
+            else:
+                out[task] = {
+                    "AP": stats[0] * 100, "AP50": stats[1] * 100,
+                    "AP75": stats[2] * 100, "APs": stats[3] * 100,
+                    "APm": stats[4] * 100, "APl": stats[5] * 100,
+                }
         return out
