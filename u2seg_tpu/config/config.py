@@ -152,6 +152,7 @@ class ModelConfig:
     pixel_std: Tuple[float, float, float] = (58.395, 57.120, 57.375)
     input_format: str = "RGB"
     mask_on: bool = True
+    keypoint_on: bool = False
     weights: str = ""
     resnet: ResNetConfig = field(default_factory=ResNetConfig)
     fpn: FPNConfig = field(default_factory=FPNConfig)

@@ -103,6 +103,42 @@ STUFF_TO_SUPERCATEGORY = {
 
 NUM_SUPERCATEGORIES = 15
 
+# COCO person keypoints (public COCO ordering; ref builtin_meta.py
+# COCO_PERSON_KEYPOINT_NAMES/FLIP_MAP).
+COCO_PERSON_KEYPOINT_NAMES = (
+    "nose",
+    "left_eye", "right_eye",
+    "left_ear", "right_ear",
+    "left_shoulder", "right_shoulder",
+    "left_elbow", "right_elbow",
+    "left_wrist", "right_wrist",
+    "left_hip", "right_hip",
+    "left_knee", "right_knee",
+    "left_ankle", "right_ankle",
+)
+COCO_PERSON_KEYPOINT_FLIP_MAP = (
+    ("left_eye", "right_eye"),
+    ("left_ear", "right_ear"),
+    ("left_shoulder", "right_shoulder"),
+    ("left_elbow", "right_elbow"),
+    ("left_wrist", "right_wrist"),
+    ("left_hip", "right_hip"),
+    ("left_knee", "right_knee"),
+    ("left_ankle", "right_ankle"),
+)
+
+
+def create_keypoint_hflip_indices(
+    names=COCO_PERSON_KEYPOINT_NAMES,
+    flip_map=COCO_PERSON_KEYPOINT_FLIP_MAP,
+) -> List[int]:
+    """Index permutation applying left/right keypoint identity swaps under
+    horizontal flip (ref detection_utils.py:522-544)."""
+    fm = dict(flip_map)
+    fm.update({v: k for k, v in fm.items()})
+    flipped = [fm.get(n, n) for n in names]
+    return [list(names).index(n) for n in flipped]
+
 
 def thing_ids() -> List[int]:
     return [c[0] for c in COCO_PANOPTIC_CATEGORIES if c[1] == 1]

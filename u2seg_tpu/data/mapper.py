@@ -43,6 +43,36 @@ def read_image(path: str, format: str = "RGB") -> np.ndarray:
         return np.asarray(img).copy()
 
 
+def transform_keypoint_annotations(
+    keypoints, tfm, image_size: Tuple[int, int],
+    keypoint_hflip_indices: Optional[Sequence[int]] = None,
+) -> np.ndarray:
+    """COCO (K*3,) keypoints -> transformed (K, 3) float64
+    (ref detection_utils.py transform_keypoint_annotations): coords go
+    through the composed transform, points landing outside the image are
+    unlabeled (v=0, coords zeroed per COCO convention), and under an odd
+    number of horizontal flips left/right identities swap via
+    ``keypoint_hflip_indices``."""
+    kp = np.asarray(keypoints, np.float64).reshape(-1, 3)
+    xy = tfm.apply_coords(kp[:, :2].copy())
+    inside = ((xy >= 0) & (xy <= np.array(image_size[::-1]))).all(axis=1)
+    kp[:, :2] = xy
+    kp[~inside, 2] = 0
+
+    def count_hflips(t):
+        sub = getattr(t, "tfms", None)
+        if sub is not None:
+            return sum(count_hflips(s) for s in sub)
+        return int(isinstance(t, T.HFlipTransform))
+
+    if count_hflips(tfm) % 2 == 1:
+        if keypoint_hflip_indices is None:
+            raise ValueError("flip sampled but no keypoint_hflip_indices")
+        kp = kp[np.asarray(keypoint_hflip_indices, np.int32)]
+    kp[kp[:, 2] == 0] = 0
+    return kp
+
+
 def segmentation_to_mask(segm, h: int, w: int) -> np.ndarray:
     """COCO segmentation (polygons / RLE dict) -> bool (h, w) mask."""
     if isinstance(segm, list):
@@ -64,6 +94,13 @@ class DatasetMapper:
         self.augs = T.build_augmentation(cfg.input, is_train)
         self.max_gt = cfg.model.max_gt_instances
         self.mask_on = cfg.model.mask_on
+        self.keypoint_on = getattr(cfg.model, "keypoint_on", False)
+        if self.keypoint_on:
+            from u2seg_tpu.data.builtin_meta import (
+                create_keypoint_hflip_indices,
+            )
+
+            self.kp_hflip_indices = create_keypoint_hflip_indices()
         self.mask_patch = mask_patch_size
         self.buckets = tuple(cfg.input.pad_buckets)
         self.image_format = cfg.model.input_format
@@ -97,6 +134,8 @@ class DatasetMapper:
         valid = np.zeros((g,), bool)
         ann_index = np.full((g,), -1, np.int32)
         patches = np.zeros((g, self.mask_patch, self.mask_patch), np.float32)
+        keypoints = (np.zeros((g, len(self.kp_hflip_indices), 3), np.float32)
+                     if self.keypoint_on else None)
 
         anns = [a for a in dd.get("annotations", []) if a.get("iscrowd", 0) == 0]
         kept = 0
@@ -131,6 +170,10 @@ class DatasetMapper:
                     (self.mask_patch, self.mask_patch),
                     interpolation=cv2.INTER_LINEAR,
                 )
+            if keypoints is not None and "keypoints" in ann:
+                keypoints[kept] = transform_keypoint_annotations(
+                    ann["keypoints"], tfm, (h, w), self.kp_hflip_indices,
+                )
             boxes[kept] = box
             classes[kept] = ann["category_id"]
             valid[kept] = True
@@ -149,6 +192,10 @@ class DatasetMapper:
             rescale = T.ResizeTransform(h, w, new_h, new_w)
             image = rescale.apply_image(image)
             boxes[:kept] = rescale.apply_box(boxes[:kept])
+            if keypoints is not None and kept:
+                flat = keypoints[:kept, :, :2].reshape(-1, 2)
+                keypoints[:kept, :, :2] = rescale.apply_coords(
+                    flat).reshape(kept, -1, 2)
             if sem_seg is not None:
                 sem_seg = rescale.apply_segmentation(sem_seg)
             h, w = new_h, new_w
@@ -162,6 +209,7 @@ class DatasetMapper:
             "gt_valid": valid,
             "gt_ann_index": ann_index,
             "gt_masks": patches,
+            **({"gt_keypoints": keypoints} if keypoints is not None else {}),
             "image_id": dd.get("image_id", 0),
             "height": dd.get("height", orig_h),
             "width": dd.get("width", orig_w),

@@ -77,15 +77,48 @@ class Visualizer:
             instances.get("classes", np.zeros(len(boxes), np.int64))
         )
         masks = instances.get("masks")
+        keypoints = instances.get("keypoints")
         for i in range(len(boxes)):
             color = self._colors[int(classes[i]) % 256]
             if masks is not None:
                 self._blend_mask(np.asarray(masks[i]), color)
             self._draw_box(boxes[i], color)
+            if keypoints is not None:
+                self.draw_keypoints(np.asarray(keypoints[i]))
             self._draw_text(
                 f"{self._class_name(int(classes[i]))} {scores[i]:.0%}",
                 (boxes[i][0], boxes[i][1] - 4),
             )
+        return self.img
+
+    # COCO person skeleton (public keypoint_connection_rules, ref
+    # builtin_meta.py:225 — index pairs into COCO_PERSON_KEYPOINT_NAMES)
+    _SKELETON = (
+        (1, 2), (0, 1), (0, 2), (1, 3), (2, 4),       # face
+        (5, 7), (7, 9), (6, 8), (8, 10), (5, 6),      # arms + shoulders
+        (11, 13), (13, 15), (12, 14), (14, 16), (11, 12),  # legs + hips
+        (5, 11), (6, 12),                             # torso
+    )
+
+    def draw_keypoints(self, kp: np.ndarray,
+                       threshold: float = 0.05) -> np.ndarray:
+        """Draw a (K, 3) keypoint set with the COCO person skeleton
+        (ref visualizer.py draw_and_connect_keypoints): dots for visible
+        points, limb segments where both endpoints are visible."""
+        import cv2
+
+        vis = kp[:, 2] > threshold
+        for k in range(len(kp)):
+            if vis[k]:
+                cv2.circle(self.img, (int(kp[k, 0]), int(kp[k, 1])),
+                           3, (255, 64, 64), -1)
+        if len(kp) == 17:
+            for a, b in self._SKELETON:
+                if vis[a] and vis[b]:
+                    cv2.line(self.img,
+                             (int(kp[a, 0]), int(kp[a, 1])),
+                             (int(kp[b, 0]), int(kp[b, 1])),
+                             (64, 255, 64), 1)
         return self.img
 
     def draw_sem_seg(self, sem_seg: np.ndarray, alpha: float = 0.6) -> np.ndarray:
