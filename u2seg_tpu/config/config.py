@@ -94,6 +94,21 @@ class ROIMaskHeadConfig:
 
 
 @dataclass
+class ROIKeypointHeadConfig:
+    """ref defaults.py ROI_KEYPOINT_HEAD namespace."""
+
+    num_keypoints: int = 17
+    conv_dims: Tuple[int, ...] = (512,) * 8
+    pooler_resolution: int = 14
+    pooler_sampling_ratio: int = 0
+    loss_weight: float = 1.0
+    # None -> normalize by visible keypoint count (the reference's
+    # NORMALIZE_LOSS_BY_VISIBLE_KEYPOINTS=True); a float uses
+    # num_images * keypoint_batch_size semantics instead
+    normalizer: Optional[float] = None
+
+
+@dataclass
 class ROIHeadsConfig:
     name: str = "CascadeROIHeads"             # u2seg uses cascade
     # ROI pooling backend: "gather" (XLA), "pallas" (window-DMA kernel),
@@ -120,6 +135,50 @@ class ROIHeadsConfig:
     box_head: ROIBoxHeadConfig = field(default_factory=ROIBoxHeadConfig)
     mask_head: ROIMaskHeadConfig = field(default_factory=ROIMaskHeadConfig)
     mask_on: bool = True
+    keypoint_head: "ROIKeypointHeadConfig" = field(
+        default_factory=lambda: ROIKeypointHeadConfig())
+    keypoint_on: bool = False
+
+
+@dataclass
+class RetinaNetConfig:
+    """ref defaults.py MODEL.RETINANET namespace (retinanet.py:29)."""
+
+    num_classes: int = 80
+    in_features: Tuple[str, ...] = ("p3", "p4", "p5", "p6", "p7")
+    iou_thresholds: Tuple[float, float] = (0.4, 0.5)
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    smooth_l1_beta: float = 0.0
+    box_reg_weights: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+    score_thresh: float = 0.05
+    topk_candidates: int = 1000
+    nms_thresh: float = 0.5
+    max_detections: int = 100
+    # head-BN experiments (projects/Rethinking-BatchNorm)
+    head_norm: str = ""
+    head_shared_bn: bool = False
+
+
+@dataclass
+class FCOSConfig:
+    """ref defaults.py MODEL.FCOS namespace (fcos.py:25)."""
+
+    num_classes: int = 80
+    in_features: Tuple[str, ...] = ("p3", "p4", "p5", "p6", "p7")
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    center_sampling_radius: float = 1.5
+    score_thresh: float = 0.05
+    topk_candidates: int = 1000
+    nms_thresh: float = 0.6
+    max_detections: int = 100
+    # per-level regression ranges (ref fcos.py): boxes are assigned to the
+    # level whose max-ltrb distance falls in range
+    size_ranges: Tuple[Tuple[float, float], ...] = (
+        (0, 64), (64, 128), (128, 256), (256, 512), (512, float("inf")),
+    )
+    head_norm: str = ""
 
 
 @dataclass
@@ -159,6 +218,8 @@ class ModelConfig:
     anchors: AnchorConfig = field(default_factory=AnchorConfig)
     rpn: RPNConfig = field(default_factory=RPNConfig)
     roi_heads: ROIHeadsConfig = field(default_factory=ROIHeadsConfig)
+    retinanet: RetinaNetConfig = field(default_factory=RetinaNetConfig)
+    fcos: FCOSConfig = field(default_factory=FCOSConfig)
     sem_seg_head: SemSegHeadConfig = field(default_factory=SemSegHeadConfig)
     panoptic: PanopticConfig = field(default_factory=PanopticConfig)
     # static capacities (TPU): max GT instances per image
@@ -350,7 +411,16 @@ def load_config(path: Optional[str] = None, overrides: Optional[List[str]] = Non
             leaf = leaf[p]
         leaf[parts[-1]] = value
         cfg = _merge_into_dataclass(cfg, node)
-    return cfg
+    # model.mask_on / model.keypoint_on are authoritative for yaml configs
+    # (the reference has a single MODEL.MASK_ON / MODEL.KEYPOINT_ON that the
+    # heads, mapper and evaluators all key off — ref defaults.py:33,36)
+    rh = dataclasses.replace(
+        cfg.model.roi_heads,
+        mask_on=cfg.model.mask_on,
+        keypoint_on=cfg.model.keypoint_on,
+    )
+    return dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, roi_heads=rh))
 
 
 def to_dict(cfg: Any) -> dict:

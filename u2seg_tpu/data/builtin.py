@@ -57,18 +57,23 @@ def register_all_coco(
                 os.path.join(root, json_file),
                 os.path.join(root, image_dir),
             )
-        if "coco_2017_val_panoptic" not in DatasetCatalog:
-            register_coco_panoptic_separated(
-                "coco_2017_val_panoptic",
-                meta,
-                os.path.join(root, "coco/val2017"),
-                os.path.join(root, "coco/panoptic_val2017"),
-                os.path.join(root, "coco/annotations/panoptic_val2017.json"),
-                os.path.join(root, "coco/panoptic_stuff_val2017"),
-                os.path.join(root, "coco/annotations/instances_val2017.json"),
-            )
+        for split in ("train", "val"):
+            pan_name = f"coco_2017_{split}_panoptic"
+            if pan_name + "_separated" not in DatasetCatalog:
+                register_coco_panoptic_separated(
+                    pan_name,
+                    meta,
+                    os.path.join(root, f"coco/{split}2017"),
+                    os.path.join(root, f"coco/panoptic_{split}2017"),
+                    os.path.join(
+                        root, f"coco/annotations/panoptic_{split}2017.json"),
+                    os.path.join(root, f"coco/panoptic_stuff_{split}2017"),
+                    os.path.join(
+                        root, f"coco/annotations/instances_{split}2017.json"),
+                )
+        register_all_coco_keypoints(root)
 
-    if cluster_num is not None:
+    if cluster_num:  # None or 0 -> supervised COCO only
         meta = cluster_metadata(cluster_num)
         n = cluster_num
         train_name = f"u2seg_{n}_train_panoptic"
@@ -93,6 +98,42 @@ def register_all_coco(
                 os.path.join(root, "coco/panoptic_stuff_val2017"),
                 os.path.join(root, "coco/annotations/instances_val2017.json"),
             )
+
+
+_PREDEFINED_COCO_KEYPOINTS = {
+    "keypoints_coco_2017_train": (
+        "coco/train2017", "coco/annotations/person_keypoints_train2017.json"),
+    "keypoints_coco_2017_val": (
+        "coco/val2017", "coco/annotations/person_keypoints_val2017.json"),
+    "keypoints_coco_2017_val_100": (
+        "coco/val2017",
+        "coco/annotations/person_keypoints_val2017_100.json"),
+}
+
+
+def register_all_coco_keypoints(root: str = "datasets"):
+    """COCO person-keypoint datasets (ref builtin.py
+    _PREDEFINED_SPLITS_COCO["coco_person"] + _get_coco_instances_meta
+    keypoint fields): single "person" thing class plus keypoint names and
+    the left/right flip map used by RandomFlip."""
+    from u2seg_tpu.data.builtin_meta import (
+        COCO_PERSON_KEYPOINT_FLIP_MAP, COCO_PERSON_KEYPOINT_NAMES,
+    )
+
+    meta = {
+        "thing_classes": ["person"],
+        "thing_dataset_id_to_contiguous_id": {1: 0},
+        "keypoint_names": list(COCO_PERSON_KEYPOINT_NAMES),
+        "keypoint_flip_map": list(COCO_PERSON_KEYPOINT_FLIP_MAP),
+    }
+    for name, (image_dir, json_file) in _PREDEFINED_COCO_KEYPOINTS.items():
+        if name in DatasetCatalog:
+            continue
+        register_coco_instances(
+            name, meta,
+            os.path.join(root, json_file),
+            os.path.join(root, image_dir),
+        )
 
 
 def register_ade20k(root: str = "datasets"):

@@ -148,3 +148,17 @@ def register_coco_panoptic_separated(
         ignore_label=255,
         **metadata,
     )
+
+    # sem-seg-only view (ref coco_panoptic.py:137-155 registers
+    # ``<name>_stuffonly`` alongside the separated dataset)
+    stuff_name = name + "_stuffonly"
+    DatasetCatalog.register(
+        stuff_name, lambda: load_sem_seg(sem_seg_root, image_root)
+    )
+    MetadataCatalog.get(stuff_name).set(
+        image_root=image_root,
+        sem_seg_root=sem_seg_root,
+        evaluator_type="sem_seg",
+        ignore_label=255,
+        **metadata,
+    )

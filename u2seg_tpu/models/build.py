@@ -35,6 +35,7 @@ def build_model(cfg: Config) -> nn.Module:
 
 
 def _register_builtin():
+    from u2seg_tpu.models.dense_detector import FCOSDetector, RetinaNetDetector
     from u2seg_tpu.models.panoptic_fpn import PanopticFPN
     from u2seg_tpu.models.rcnn import (
         GeneralizedRCNN, ProposalNetwork, SemanticSegmentor,
@@ -44,3 +45,5 @@ def _register_builtin():
     META_ARCH_REGISTRY.setdefault("GeneralizedRCNN", GeneralizedRCNN)
     META_ARCH_REGISTRY.setdefault("ProposalNetwork", ProposalNetwork)
     META_ARCH_REGISTRY.setdefault("SemanticSegmentor", SemanticSegmentor)
+    META_ARCH_REGISTRY.setdefault("RetinaNet", RetinaNetDetector)
+    META_ARCH_REGISTRY.setdefault("FCOS", FCOSDetector)

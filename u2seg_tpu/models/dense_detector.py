@@ -14,7 +14,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from u2seg_tpu.config.config import AnchorConfig
+from u2seg_tpu.config.config import (
+    AnchorConfig, FCOSConfig, RetinaNetConfig,
+)
 from u2seg_tpu.models import matcher
 from u2seg_tpu.models.anchors import multilevel_anchors
 from u2seg_tpu.models.fpn import FPN_STRIDES
@@ -95,24 +97,6 @@ class DenseHead(nn.Module):
         boxes = [box_pred(f) for f in box_feats]
         ctr = [ctr_pred(f) for f in box_feats] if ctr_pred is not None else []
         return logits, boxes, ctr
-
-
-@dataclasses.dataclass
-class RetinaNetConfig:
-    num_classes: int = 80
-    in_features: Tuple[str, ...] = ("p3", "p4", "p5", "p6", "p7")
-    iou_thresholds: Tuple[float, float] = (0.4, 0.5)
-    focal_alpha: float = 0.25
-    focal_gamma: float = 2.0
-    smooth_l1_beta: float = 0.0
-    box_reg_weights: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
-    score_thresh: float = 0.05
-    topk_candidates: int = 1000
-    nms_thresh: float = 0.5
-    max_detections: int = 100
-    # head-BN experiments (projects/Rethinking-BatchNorm)
-    head_norm: str = ""
-    head_shared_bn: bool = False
 
 
 class RetinaNet(nn.Module):
@@ -239,25 +223,6 @@ class RetinaNet(nn.Module):
             lambda bx, sc, cl, hw: per_image((bx, sc, cl, hw))
         )(cand_boxes, cand_scores, cand_cls, image_sizes)
         return Detections(boxes=db, scores=ds, classes=dc, valid=dv)
-
-
-@dataclasses.dataclass
-class FCOSConfig:
-    num_classes: int = 80
-    in_features: Tuple[str, ...] = ("p3", "p4", "p5", "p6", "p7")
-    focal_alpha: float = 0.25
-    focal_gamma: float = 2.0
-    center_sampling_radius: float = 1.5
-    score_thresh: float = 0.05
-    topk_candidates: int = 1000
-    nms_thresh: float = 0.6
-    max_detections: int = 100
-    # per-level regression ranges (ref fcos.py): boxes are assigned to the
-    # level whose max-ltrb distance falls in range
-    size_ranges: Tuple[Tuple[float, float], ...] = (
-        (0, 64), (64, 128), (128, 256), (256, 512), (512, float("inf")),
-    )
-    head_norm: str = ""
 
 
 class FCOS(nn.Module):
@@ -408,3 +373,58 @@ class FCOS(nn.Module):
 
         db, ds, dc, dv = jax.vmap(per_image)(boxes, scores, cls_idx, image_sizes)
         return Detections(boxes=db, scores=ds, classes=dc, valid=dv)
+
+
+class DenseDetectorMetaArch(nn.Module):
+    """Backbone + one-stage head as a full meta-architecture.
+
+    Counterpart of the reference's RetinaNet/FCOS meta-archs
+    (``meta_arch/retinanet.py:29``, ``meta_arch/fcos.py:25``), which own
+    their backbone (``build_backbone``), normalization and postprocess;
+    here the head modules above stay feature->detections and this wrapper
+    adds the ResNet-FPN bottom-up (res3-res5 laterals + p6/p7 convs, ref
+    ``Base-RetinaNet.yaml``) and pixel normalization.
+    """
+
+    cfg: Any  # ModelConfig
+    head_name: str = "RetinaNet"
+
+    def setup(self):
+        import dataclasses as _dc
+
+        from u2seg_tpu.models.fpn import ResNetFPN
+
+        c = self.cfg
+        dtype = jnp.dtype(c.compute_dtype)
+        fpn_cfg = c.fpn
+        if fpn_cfg.top_block != "p6p7":
+            fpn_cfg = _dc.replace(
+                fpn_cfg, top_block="p6p7",
+                in_features=("res3", "res4", "res5"))
+        self.backbone = ResNetFPN(c.resnet, fpn_cfg, dtype=dtype,
+                                  name="backbone")
+        if self.head_name == "RetinaNet":
+            self.head = RetinaNet(c.retinanet, name="head")
+        else:
+            self.head = FCOS(c.fcos, name="head")
+
+    def normalize(self, images):
+        mean = jnp.asarray(self.cfg.pixel_mean, images.dtype)
+        std = jnp.asarray(self.cfg.pixel_std, images.dtype)
+        return ((images - mean) / std).astype(
+            jnp.dtype(self.cfg.compute_dtype))
+
+    def __call__(self, images, image_sizes,
+                 gt: Optional[GtInstances] = None, train: bool = False):
+        features = self.backbone(self.normalize(images), train=train)
+        return self.head(features, image_sizes, gt=gt, train=train)
+
+
+def RetinaNetDetector(model_cfg):
+    """META_ARCH_REGISTRY["RetinaNet"] builder (full model from config)."""
+    return DenseDetectorMetaArch(model_cfg, head_name="RetinaNet")
+
+
+def FCOSDetector(model_cfg):
+    """META_ARCH_REGISTRY["FCOS"] builder (full model from config)."""
+    return DenseDetectorMetaArch(model_cfg, head_name="FCOS")

@@ -396,6 +396,20 @@ class StandardROIHeads(nn.Module):
                 num_conv=c.mask_head.num_conv, conv_dim=c.mask_head.conv_dim,
                 norm=c.mask_head.norm, dtype=self.dtype, name="mask_head",
             )
+        self._setup_keypoint_head()
+
+    def _setup_keypoint_head(self):
+        c = self.cfg
+        if c.keypoint_on:
+            from u2seg_tpu.models.keypoint_head import (
+                KRCNNConvDeconvUpsampleHead,
+            )
+
+            self.keypoint_head = KRCNNConvDeconvUpsampleHead(
+                num_keypoints=c.keypoint_head.num_keypoints,
+                conv_dims=tuple(c.keypoint_head.conv_dims),
+                dtype=self.dtype, name="keypoint_head",
+            )
 
     def _strides(self):
         return [FPN_STRIDES[f] for f in self.cfg.in_features]
@@ -529,6 +543,67 @@ class StandardROIHeads(nn.Module):
         sel = logits.reshape(b, k, out_size, out_size)
         return dataclasses.replace(det, mask_logits=sel)
 
+    def _keypoint_loss(self, features, proposals: SampledProposals,
+                       gt: GtInstances, train):
+        """Keypoint branch training (ref roi_heads.py _forward_keypoint +
+        keypoint_head.py keypoint_rcnn_loss). ROI selection follows
+        select_proposals_with_visible_keypoints: foreground proposals
+        whose matched GT has at least one visible keypoint inside the
+        proposal box, fixed capacity."""
+        from u2seg_tpu.models.keypoint_head import keypoint_rcnn_loss
+
+        c = self.cfg
+        b, s = proposals.valid.shape
+        cap = self.mask_fg_capacity
+
+        kp_all = jnp.take_along_axis(
+            gt.keypoints, proposals.gt_idx[..., None, None], axis=1
+        )  # (B, S, Kp, 3)
+        inside = (
+            (kp_all[..., 0] >= proposals.boxes[..., None, 0])
+            & (kp_all[..., 0] <= proposals.boxes[..., None, 2])
+            & (kp_all[..., 1] >= proposals.boxes[..., None, 1])
+            & (kp_all[..., 1] <= proposals.boxes[..., None, 3])
+            & (kp_all[..., 2] > 0)
+        )
+        want = proposals.is_fg & inside.any(-1)
+
+        def per_image(w):
+            order = jnp.argsort(~w)
+            idx = order[:cap]
+            return idx.astype(jnp.int32), w[idx]
+
+        kidx, klive = jax.vmap(per_image)(want)
+        kboxes = jnp.take_along_axis(proposals.boxes, kidx[..., None], axis=1)
+        kkp = jnp.take_along_axis(
+            kp_all, kidx[..., None, None], axis=1
+        ).reshape(b * cap, -1, 3)
+
+        pooled = self._pool(
+            features, kboxes, c.keypoint_head.pooler_resolution,
+            c.keypoint_head.pooler_sampling_ratio, train=True,
+        )
+        logits = self.keypoint_head(pooled, train=train)
+        loss = keypoint_rcnn_loss(
+            logits, kkp, kboxes.reshape(-1, 4), klive.reshape(-1),
+            normalizer=c.keypoint_head.normalizer,
+        )
+        return {"loss_keypoint": loss * c.keypoint_head.loss_weight}
+
+    def _keypoint_inference(self, features, det: Detections, train=False):
+        from u2seg_tpu.models.keypoint_head import keypoint_rcnn_inference
+
+        c = self.cfg
+        b, k = det.valid.shape
+        pooled = self._pool(
+            features, det.boxes, c.keypoint_head.pooler_resolution,
+            c.keypoint_head.pooler_sampling_ratio,
+        )
+        logits = self.keypoint_head(pooled, train=train)
+        kp = keypoint_rcnn_inference(logits, det.boxes.reshape(-1, 4))
+        return dataclasses.replace(
+            det, keypoints=kp.reshape(b, k, *kp.shape[1:]))
+
     def __call__(
         self,
         features: Dict[str, jnp.ndarray],
@@ -564,6 +639,9 @@ class StandardROIHeads(nn.Module):
             )
             if c.mask_on and gt.masks is not None:
                 losses.update(self._mask_loss(features, proposals, gt, train))
+            if c.keypoint_on and gt.keypoints is not None:
+                losses.update(
+                    self._keypoint_loss(features, proposals, gt, train))
             return losses
         else:
             b, k, _ = rpn_boxes.shape
@@ -585,6 +663,8 @@ class StandardROIHeads(nn.Module):
             )
             if c.mask_on:
                 det = self._mask_inference(features, det)
+            if c.keypoint_on:
+                det = self._keypoint_inference(features, det)
             return det
 
 
@@ -615,6 +695,7 @@ class CascadeROIHeads(StandardROIHeads):
                 num_conv=c.mask_head.num_conv, conv_dim=c.mask_head.conv_dim,
                 norm=c.mask_head.norm, dtype=self.dtype, name="mask_head",
             )
+        self._setup_keypoint_head()
 
     def _run_stage(self, features, boxes, stage: int, train: bool):
         c = self.cfg
@@ -681,6 +762,9 @@ class CascadeROIHeads(StandardROIHeads):
                     boxes = self._refine(deltas_p, boxes, stage, image_sizes)
             if c.mask_on and gt.masks is not None:
                 losses.update(self._mask_loss(features, proposals, gt, train))
+            if c.keypoint_on and gt.keypoints is not None:
+                losses.update(
+                    self._keypoint_loss(features, proposals, gt, train))
             return losses
         else:
             boxes = rpn_boxes
@@ -704,4 +788,6 @@ class CascadeROIHeads(StandardROIHeads):
             )
             if c.mask_on:
                 det = self._mask_inference(features, det)
+            if c.keypoint_on:
+                det = self._keypoint_inference(features, det)
             return det

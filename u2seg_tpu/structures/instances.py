@@ -31,6 +31,7 @@ class GtInstances:
     classes: jnp.ndarray
     valid: jnp.ndarray
     masks: Optional[jnp.ndarray] = None
+    keypoints: Optional[jnp.ndarray] = None   # (N, Kp, 3) x, y, visibility
 
     @property
     def capacity(self) -> int:
@@ -54,6 +55,7 @@ class Detections:
     classes: jnp.ndarray
     valid: jnp.ndarray
     mask_logits: Optional[jnp.ndarray] = None
+    keypoints: Optional[jnp.ndarray] = None   # (K, Kp, 4) x, y, logit, prob
 
     @property
     def capacity(self) -> int:
