@@ -72,3 +72,21 @@ def test_zoo_model_initializes(rel):
         valid = np.asarray(out.valid)
         scores = np.asarray(out.scores)
         assert np.isfinite(scores[valid]).all()
+
+
+def test_model_zoo_api():
+    from u2seg_tpu import model_zoo
+
+    path = model_zoo.get_config_file(
+        "COCO-Detection/faster_rcnn_R_50_FPN_1x.yaml")
+    assert os.path.isfile(path)
+    cfg = model_zoo.get_config("COCO-Detection/faster_rcnn_R_50_FPN_1x.yaml")
+    assert cfg.model.meta_architecture == "GeneralizedRCNN"
+    assert cfg.model.weights == ""
+    model, cfg2 = model_zoo.get(
+        "COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml")
+    assert model is not None and cfg2.model.mask_on
+    zoo = model_zoo.list_configs()
+    assert "COCO-Keypoints/keypoint_rcnn_R_50_FPN_1x.yaml" in zoo
+    with pytest.raises(RuntimeError):
+        model_zoo.get_config_file("nope/nothing.yaml")

@@ -58,8 +58,9 @@ def test_swin_shifted_windows_differ_from_unshifted(rng):
 def test_regnet_backbone(rng):
     from u2seg_tpu.models.regnet import RegNet, generate_regnet_params
 
-    ws, ds = generate_regnet_params(38.65, 96, 2.43, 23)
-    assert len(ws) == len(ds) and sum(ds) == 23
+    ws, ds, gws = generate_regnet_params(38.65, 96, 2.43, 23, group_width=40)
+    assert len(ws) == len(ds) == len(gws) and sum(ds) == 23
+    assert all(w % g == 0 for w, g in zip(ws, gws))
     from u2seg_tpu.models.regnet import generate_regnet_params as gen
 
     m = RegNet(w_a=24.0, w_0=24, w_m=2.5, depth=8, group_width=8,

@@ -38,6 +38,38 @@ class ResNetConfig:
 
 
 @dataclass
+class BackboneConfig:
+    """Backbone selection (ref MODEL.BACKBONE.NAME + per-family fields).
+
+    ``name`` keys into ``models/backbone.py`` BACKBONE_REGISTRY:
+    ResNetFPN (default; uses ``resnet``+``fpn`` namespaces), ViTDet
+    (``vit_*`` fields + SimpleFeaturePyramid), SwinFPN / MViTFPN
+    (``embed_dim``/``depths``/``trunk_num_heads``/``window_size`` + FPN),
+    RegNetFPN (``regnet_*`` + FPN).
+    """
+
+    name: str = "ResNetFPN"
+    # ViTDet trunk (ref projects/ViTDet ViT-B/16 defaults)
+    vit_patch_size: int = 16
+    vit_dim: int = 768
+    vit_depth: int = 12
+    vit_num_heads: int = 12
+    vit_window_size: int = 14
+    vit_global_blocks: Tuple[int, ...] = (2, 5, 8, 11)
+    # Swin-T / MViTv2-T trunks
+    embed_dim: int = 96
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    trunk_num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    window_size: int = 7
+    # RegNetX-4GF-ish
+    regnet_w_a: float = 38.65
+    regnet_w_0: int = 96
+    regnet_w_m: float = 2.43
+    regnet_depth: int = 23
+    regnet_group_width: int = 40
+
+
+@dataclass
 class FPNConfig:
     in_features: Tuple[str, ...] = ("res2", "res3", "res4", "res5")
     out_channels: int = 256
@@ -213,6 +245,7 @@ class ModelConfig:
     mask_on: bool = True
     keypoint_on: bool = False
     weights: str = ""
+    backbone: BackboneConfig = field(default_factory=BackboneConfig)
     resnet: ResNetConfig = field(default_factory=ResNetConfig)
     fpn: FPNConfig = field(default_factory=FPNConfig)
     anchors: AnchorConfig = field(default_factory=AnchorConfig)

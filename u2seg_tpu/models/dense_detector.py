@@ -392,7 +392,7 @@ class DenseDetectorMetaArch(nn.Module):
     def setup(self):
         import dataclasses as _dc
 
-        from u2seg_tpu.models.fpn import ResNetFPN
+        from u2seg_tpu.models.backbone import build_backbone
 
         c = self.cfg
         dtype = jnp.dtype(c.compute_dtype)
@@ -401,8 +401,8 @@ class DenseDetectorMetaArch(nn.Module):
             fpn_cfg = _dc.replace(
                 fpn_cfg, top_block="p6p7",
                 in_features=("res3", "res4", "res5"))
-        self.backbone = ResNetFPN(c.resnet, fpn_cfg, dtype=dtype,
-                                  name="backbone")
+        self.backbone = build_backbone(
+            _dc.replace(c, fpn=fpn_cfg), dtype=dtype, name="backbone")
         if self.head_name == "RetinaNet":
             self.head = RetinaNet(c.retinanet, name="head")
         else:

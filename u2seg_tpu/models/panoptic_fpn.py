@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from u2seg_tpu.config.config import ModelConfig
-from u2seg_tpu.models.fpn import ResNetFPN
+from u2seg_tpu.models.backbone import build_backbone
 from u2seg_tpu.models.roi_heads import CascadeROIHeads, StandardROIHeads
 from u2seg_tpu.models.rpn import RPN
 from u2seg_tpu.models.sem_seg import SemSegFPNHead
@@ -48,7 +48,7 @@ class PanopticFPN(nn.Module):
     def setup(self):
         c = self.cfg
         dtype = jnp.dtype(c.compute_dtype)
-        self.backbone = ResNetFPN(c.resnet, c.fpn, dtype=dtype, name="backbone")
+        self.backbone = build_backbone(c, dtype=dtype, name="backbone")
         self.proposal_generator = RPN(c.rpn, c.anchors, dtype=dtype,
                                       name="proposal_generator")
         heads_cls = (

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from u2seg_tpu.config.config import ModelConfig
-from u2seg_tpu.models.fpn import ResNetFPN
+from u2seg_tpu.models.backbone import build_backbone
 from u2seg_tpu.models.roi_heads import CascadeROIHeads, StandardROIHeads
 from u2seg_tpu.models.rpn import RPN
 from u2seg_tpu.models.sem_seg import SemSegFPNHead
@@ -32,7 +32,7 @@ class GeneralizedRCNN(nn.Module):
     def setup(self):
         c = self.cfg
         dtype = jnp.dtype(c.compute_dtype)
-        self.backbone = ResNetFPN(c.resnet, c.fpn, dtype=dtype, name="backbone")
+        self.backbone = build_backbone(c, dtype=dtype, name="backbone")
         self.proposal_generator = RPN(c.rpn, c.anchors, dtype=dtype,
                                       name="proposal_generator")
         heads_cls = (
@@ -72,7 +72,7 @@ class ProposalNetwork(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.backbone = ResNetFPN(c.resnet, c.fpn, name="backbone")
+        self.backbone = build_backbone(c, name="backbone")
         self.proposal_generator = RPN(c.rpn, c.anchors, name="proposal_generator")
 
     def __call__(self, images, image_sizes, gt: Optional[GtInstances] = None,
@@ -98,7 +98,7 @@ class SemanticSegmentor(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.backbone = ResNetFPN(c.resnet, c.fpn, name="backbone")
+        self.backbone = build_backbone(c, name="backbone")
         self.sem_seg_head = SemSegFPNHead(c.sem_seg_head, name="sem_seg_head")
 
     def __call__(self, images, image_sizes, sem_seg_gt=None, train: bool = False):

@@ -20,15 +20,32 @@ _conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
 def generate_regnet_params(w_a: float, w_0: int, w_m: float, depth: int,
-                           q: int = 8):
-    """Per-stage (widths, depths) from the RegNet generator."""
+                           q: int = 8, group_width: int = 1,
+                           bottleneck_ratio: float = 1.0):
+    """Per-stage (widths, depths, group_widths) from the RegNet generator.
+
+    Follows pycls ``generate_regnet`` + ``adjust_block_compatibility``: the
+    quantized widths are rounded so each stage's bottleneck width is a
+    multiple of its (possibly shrunk) group width — grouped convs always
+    divide evenly for any (depth, group_width) combination.
+    """
     ws_cont = w_0 + w_a * np.arange(depth)
     ks = np.round(np.log(ws_cont / w_0) / np.log(w_m))
     ws_all = w_0 * np.power(w_m, ks)
     ws_all = np.round(ws_all / q) * q
     widths, depths = np.unique(ws_all.astype(int), return_counts=True)
     order = np.argsort(widths)
-    return widths[order].tolist(), depths[order].tolist()
+    widths, depths = widths[order].tolist(), depths[order].tolist()
+    # adjust_block_compatibility (pycls/models/anynet.py): per-stage
+    # v = w * b, g = min(g, v), v rounded to a multiple of g, w = v / b.
+    adj_ws, gws = [], []
+    for w in widths:
+        v = max(1, int(round(w * bottleneck_ratio)))
+        g = min(group_width, v)
+        v = max(g, int(round(v / g)) * g)
+        adj_ws.append(int(round(v / bottleneck_ratio)))
+        gws.append(g)
+    return adj_ws, depths, gws
 
 
 class _Block(nn.Module):
@@ -88,8 +105,9 @@ class RegNet(nn.Module):
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         from u2seg_tpu.models.resnet import _apply_norm
 
-        widths, depths = generate_regnet_params(
-            self.w_a, self.w_0, self.w_m, self.depth
+        widths, depths, gws = generate_regnet_params(
+            self.w_a, self.w_0, self.w_m, self.depth,
+            group_width=self.group_width,
         )
         x = nn.Conv(self.stem_width, (3, 3), strides=2,
                     padding=[(1, 1), (1, 1)], use_bias=False,
@@ -97,11 +115,11 @@ class RegNet(nn.Module):
         x = _apply_norm(get_norm(self.norm, self.stem_width, dtype=self.dtype), x, train)
         x = nn.relu(x)
         out: Dict[str, jnp.ndarray] = {}
-        for stage, (w, d) in enumerate(zip(widths, depths)):
+        for stage, (w, d, gw) in enumerate(zip(widths, depths, gws)):
             for i in range(d):
                 x = _Block(
                     width=int(w), stride=2 if i == 0 else 1,
-                    group_width=self.group_width, norm=self.norm,
+                    group_width=int(gw), norm=self.norm,
                     dtype=self.dtype, name=f"s{stage + 1}_b{i}",
                 )(x, train=train)
             name = f"res{stage + 2}"
