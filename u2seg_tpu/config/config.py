@@ -340,6 +340,9 @@ class TestConfig:
     detections_per_image: int = 100
     expected_results: Tuple = ()
     eval_mode: str = "eval"                   # or "hungarian_matching"
+    # device batch for dataset evaluation (DefaultPredictor.run_batched);
+    # the reference tests one image at a time (defaults.py:253)
+    ims_per_batch: int = 8
 
 
 @dataclass
