@@ -21,7 +21,7 @@ def main():
     from u2seg_tpu.ops.mask_paste import paste_masks
     from u2seg_tpu.structures.instances import Detections
 
-    b, k, hs, ws = 4, 100, 200, 336
+    b, k, hs, ws = 8, 100, 200, 336
     num_stuff = 28
     rng = np.random.RandomState(0)
     boxes = np.zeros((b, k, 4), np.float32)

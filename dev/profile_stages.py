@@ -51,7 +51,7 @@ def main():
     cfg = Config()
     model = build_model(cfg)
 
-    b, h, w = 4, 800, 1344
+    b, h, w = int(os.environ.get("PROF_BATCH", "4")), 800, 1344
     rng = np.random.RandomState(0)
     images = jnp.array(rng.rand(b, h, w, 3).astype(np.float32) * 255)
     sizes = jnp.array([[h, w]] * b, dtype=jnp.int32)
@@ -75,24 +75,42 @@ def main():
 
     m = model
 
+    def _scalar(*leaves):
+        return sum(l.astype(jnp.float32).sum() for l in leaves)
+
     @jax.jit
     def f_backbone(v, x):
-        xx = m.bind(v).normalize(x)
-        return m.bind(v).backbone(xx, train=False)
+        feats = m.bind(v).backbone(m.bind(v).normalize(x), train=False)
+        return _scalar(*feats.values())
 
     @jax.jit
     def f_semseg(v, x):
         mm = m.bind(v)
         feats = mm.backbone(mm.normalize(x), train=False)
         logits, _ = mm.sem_seg_head(feats, None, train=False)
-        return logits
+        return _scalar(logits)
 
     @jax.jit
     def f_rpn(v, x, s):
         mm = m.bind(v)
         feats = mm.backbone(mm.normalize(x), train=False)
         out = mm.proposal_generator(feats, s, train=False)
-        return out.proposal_boxes
+        return _scalar(out.proposal_boxes)
+
+    @jax.jit
+    def f_roi_box(v, x, s):
+        """Through the cascade box stages + fast_rcnn_inference, no mask."""
+        mm = m.bind(v)
+        feats = mm.backbone(mm.normalize(x), train=False)
+        rpn_out = mm.proposal_generator(feats, s, train=False)
+        rh = mm.roi_heads
+        boxes = rpn_out.proposal_boxes
+        stage_scores = []
+        for st in range(len(rh.cfg.cascade_ious)):
+            scores_p, deltas_p = rh._run_stage(feats, boxes, st, False)
+            boxes = rh._refine(deltas_p, boxes, st, s)
+            stage_scores.append(scores_p)
+        return _scalar(boxes, *stage_scores)
 
     @jax.jit
     def f_roi(v, x, s):
@@ -102,16 +120,18 @@ def main():
         det = mm.roi_heads(
             feats, rpn_out.proposal_boxes, rpn_out.proposal_scores,
             rpn_out.proposal_valid, s, train=False)
-        return det.boxes, det.scores
+        return _scalar(det.boxes, det.scores, det.mask_logits)
 
     @jax.jit
     def f_full(v, x, s):
         out = m.apply(v, x, s, train=False, combine=True)
-        return out.detections.boxes, out.detections.scores, out.panoptic
+        return _scalar(out.detections.boxes, out.detections.scores,
+                       out.panoptic.astype(jnp.float32))
 
     timeit("backbone(R50+FPN)", f_backbone, variables, images)
     timeit("+semseg head", f_semseg, variables, images)
     timeit("+RPN (topk+NMS)", f_rpn, variables, images, sizes)
+    timeit("+cascade box stages", f_roi_box, variables, images, sizes)
     timeit("+ROI heads (casc+mask)", f_roi, variables, images, sizes)
     timeit("full (+fusion)", f_full, variables, images, sizes)
 
