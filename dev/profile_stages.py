@@ -123,16 +123,28 @@ def main():
         return _scalar(det.boxes, det.scores, det.mask_logits)
 
     @jax.jit
+    def f_nofuse(v, x, s):
+        out = m.apply(v, x, s, train=False, combine=False)
+        return _scalar(out.detections.boxes, out.detections.scores,
+                       out.detections.mask_logits, out.sem_seg_logits)
+
+    @jax.jit
     def f_full(v, x, s):
         out = m.apply(v, x, s, train=False, combine=True)
         return _scalar(out.detections.boxes, out.detections.scores,
                        out.panoptic.astype(jnp.float32))
+
+    if os.environ.get("PROF_ONLY_FULL"):
+        timeit("all but fusion", f_nofuse, variables, images, sizes)
+        timeit("full (+fusion)", f_full, variables, images, sizes)
+        return
 
     timeit("backbone(R50+FPN)", f_backbone, variables, images)
     timeit("+semseg head", f_semseg, variables, images)
     timeit("+RPN (topk+NMS)", f_rpn, variables, images, sizes)
     timeit("+cascade box stages", f_roi_box, variables, images, sizes)
     timeit("+ROI heads (casc+mask)", f_roi, variables, images, sizes)
+    timeit("all but fusion", f_nofuse, variables, images, sizes)
     timeit("full (+fusion)", f_full, variables, images, sizes)
 
 

@@ -155,7 +155,8 @@ def combine_semantic_and_instance(
         inside = (yy < jnp.ceil(hw[0] / stride)) & (xx < jnp.ceil(hw[1] / stride))
 
         masks_full = paste_masks(
-            jax.nn.sigmoid(mask_logits[ordr]), boxes[ordr] / stride, h, w
+            jax.nn.sigmoid(mask_logits[ordr]), boxes[ordr] / stride, h, w,
+            precision=jax.lax.Precision.DEFAULT,
         ) > 0.5  # (K, h, w) bool, sorted by score
         masks_full = masks_full & inside
 

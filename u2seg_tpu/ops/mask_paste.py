@@ -39,12 +39,17 @@ def paste_masks(
     boxes: jnp.ndarray,
     out_h: int,
     out_w: int,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """Paste per-ROI masks into full canvases.
 
     Args:
       masks: (K, M, M) mask probabilities (or logits — linear op).
       boxes: (K, 4) XYXY in canvas coordinates.
+      precision: matmul precision. HIGHEST (exact f32) by default; the
+        stride-4 panoptic fusion path passes DEFAULT — its output is only
+        thresholded at 0.5 and the eval path re-renders exactly at full
+        resolution, so bf16 passes are ~6x cheaper for the same segments.
     Returns:
       (K, out_h, out_w) float32; zero outside each box.
     """
@@ -53,7 +58,7 @@ def paste_masks(
     wx = _axis_weights(boxes[:, 0], boxes[:, 2], out_w, m)  # (K, W, M)
     return jnp.einsum(
         "khm,kmn,kwn->khw", wy, masks.astype(jnp.float32), wx,
-        optimize=True, precision=jax.lax.Precision.HIGHEST,
+        optimize=True, precision=precision,
     )
 
 

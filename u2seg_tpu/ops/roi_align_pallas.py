@@ -30,9 +30,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WIN = 40    # x window per ROI; the x origin is aligned DOWN to a multiple
+WIN = 32    # x window per ROI; the x origin is aligned DOWN to a multiple
             # of 8 (Mosaic DMA requirement), costing up to 7 cells of slack
-WIN_Y = 32  # y window: no alignment requirement, no slack
+WIN_Y = 24  # y window: no alignment requirement, no slack
 
 # Largest box span (in feature cells) the windows cover EXACTLY, halos
 # included. Bilinear sampling of a span needs floor(first)-1 .. floor(last)+1
@@ -200,6 +200,10 @@ def _rois_per_step(s: int) -> int:
     FLOP growth of the block-diagonal matmuls — 8 is the measured sweet
     spot for the 7x7 box pool on v5e, halved for the 14x14 mask pool whose
     temporaries are 4x larger."""
+    import os
+    env = os.environ.get("U2SEG_POOL_GSZ")
+    if env:
+        return int(env)     # experimental override for kernel sweeps
     return 8 if s <= 8 else 4
                    # amortizes per-step launch overhead
 
