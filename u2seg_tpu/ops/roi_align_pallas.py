@@ -30,9 +30,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WIN = 32    # x window per ROI; the x origin is aligned DOWN to a multiple
+WIN = 40    # x window per ROI; the x origin is aligned DOWN to a multiple
             # of 8 (Mosaic DMA requirement), costing up to 7 cells of slack
-WIN_Y = 24  # y window: no alignment requirement, no slack
+WIN_Y = 32  # y window: no alignment requirement, no slack
 
 # Largest box span (in feature cells) the windows cover EXACTLY, halos
 # included. Bilinear sampling of a span needs floor(first)-1 .. floor(last)+1
