@@ -27,6 +27,8 @@ from torch import nn
 REF = "/root/reference/detectron2"
 OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
                    "fixtures", "d2_panoptic_fpn_state.npz")
+OUT_ACT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
+                       "fixtures", "d2_activations.npz")
 
 
 # ---------------------------------------------------------------------------
@@ -202,19 +204,42 @@ def build_backbone_pkg():
     return pkg
 
 
+def _rs_for(key: str) -> np.random.RandomState:
+    """Stable per-key RNG. NOTE: ``hash(str)`` is salted per process, so the
+    original fixture was not reproducible across runs; crc32 is."""
+    import zlib
+
+    return np.random.RandomState(zlib.crc32(key.encode("utf-8")) % (2**31))
+
+
 def seed_module(module: nn.Module):
     """Overwrite every param/buffer with a deterministic value derived from
-    its NAME — layout drift changes values, not just keys."""
+    its NAME — layout drift changes values, not just keys.
+
+    Magnitudes are chosen so a forward pass stays O(1) through 50+ layers
+    (the activation goldens need non-degenerate values): conv/fc weights
+    get fan-in-scaled randn, norm scales sit near 1, running_var is
+    positive near 1, biases/means are small."""
     state = module.state_dict()
     for k in state:
         t = state[k]
-        if t.dtype.is_floating_point:
-            rs = np.random.RandomState(abs(hash(k)) % (2**31))
-            state[k] = torch.from_numpy(
-                rs.randn(*t.shape).astype(np.float32) * 0.05
-            )
-        else:
+        if not t.dtype.is_floating_point:
             state[k] = torch.zeros_like(t)  # num_batches_tracked etc.
+            continue
+        rs = _rs_for(k)
+        shape = tuple(t.shape)
+        if k.endswith("running_var"):
+            v = np.abs(1.0 + 0.1 * rs.randn(*shape)) + 1e-3
+        elif k.endswith("running_mean"):
+            v = 0.05 * rs.randn(*shape)
+        elif len(shape) == 1 and k.endswith(".weight"):
+            v = 1.0 + 0.1 * rs.randn(*shape)       # norm affine scale
+        elif len(shape) == 1:
+            v = 0.05 * rs.randn(*shape)             # biases
+        else:
+            fan_in = int(np.prod(shape[1:]))
+            v = rs.randn(*shape) * np.sqrt(2.0 / max(fan_in, 1))
+        state[k] = torch.from_numpy(v.astype(np.float32))
     module.load_state_dict(state)
 
 
@@ -385,6 +410,69 @@ def main():
         groups.setdefault(k.split(".")[0], 0)
         groups[k.split(".")[0]] += 1
     print(groups)
+
+    acts = capture_activations(full)
+    np.savez_compressed(OUT_ACT, **acts)
+    sz = os.path.getsize(OUT_ACT) / 1e6
+    print(f"wrote {OUT_ACT}: {len(acts)} arrays, {sz:.1f} MB")
+
+
+def capture_activations(full: nn.Module) -> dict:
+    """Run the seeded reference modules forward and record per-module
+    outputs (the reference's own acc-test pattern: utils/testing.py:95
+    assert_instances_allclose + quick_schedules/*_inference_acc_test.yaml,
+    reduced to module granularity on deterministic inputs).
+
+    Captured on a fixed 64x64 image: ResNet C2-C5, FPN P2-P6, RPN head
+    logits/deltas per level, per-stage cascade box-head features +
+    predictor scores/deltas on fixed pooled ROIs, mask logits at the
+    selected class channels, and stride-4 SemSegFPNHead logits. The JAX
+    activation-parity golden (tests/golden/test_activation_parity.py)
+    loads converted weights and pins its forwards to these arrays.
+    """
+    full.eval()
+    acts = {}
+    rs = np.random.RandomState(20260819)
+    x = torch.from_numpy(rs.randn(1, 3, 64, 64).astype(np.float32))
+    acts["input_image"] = x.numpy()
+    levels = ("p2", "p3", "p4", "p5", "p6")
+    with torch.no_grad():
+        res = full.backbone.bottom_up(x)
+        for k in ("res2", "res3", "res4", "res5"):
+            acts[f"backbone.{k}"] = res[k].numpy()
+        fp = full.backbone(x)
+        for k in levels:
+            acts[f"fpn.{k}"] = fp[k].numpy()
+
+        logits, deltas = full.proposal_generator.rpn_head(
+            [fp[k] for k in levels])
+        for k, lg, dl in zip(levels, logits, deltas):
+            acts[f"rpn.logits.{k}"] = lg.numpy()
+            acts[f"rpn.deltas.{k}"] = dl.numpy()
+
+        pooled7 = torch.from_numpy(
+            rs.randn(8, 256, 7, 7).astype(np.float32) * 0.5)
+        acts["pooled7"] = pooled7.numpy()
+        for k in range(3):
+            bh = full.roi_heads.box_head[k](pooled7)
+            scores, box_deltas = full.roi_heads.box_predictor[k](bh)
+            acts[f"box_head.{k}"] = bh.numpy()
+            acts[f"box_scores.{k}"] = scores.numpy()
+            acts[f"box_deltas.{k}"] = box_deltas.numpy()
+
+        pooled14 = torch.from_numpy(
+            rs.randn(8, 256, 14, 14).astype(np.float32) * 0.5)
+        acts["pooled14"] = pooled14.numpy()
+        mask_cls = rs.randint(0, 800, size=8).astype(np.int32)
+        acts["mask_class_idx"] = mask_cls
+        m = full.roi_heads.mask_head.layers(pooled14)      # (8, 800, 28, 28)
+        acts["mask_logits_selected"] = m.numpy()[
+            np.arange(8), mask_cls]                        # (8, 28, 28)
+
+        sem = full.sem_seg_head.layers(
+            {k: fp[k] for k in ("p2", "p3", "p4", "p5")})
+        acts["sem_logits_s4"] = sem.numpy()                # (1, 28, 16, 16)
+    return acts
 
 
 if __name__ == "__main__":

@@ -56,7 +56,9 @@ def build_fake_ref(params_flat, stats_flat):
         return np.transpose(w, (3, 2, 0, 1))
 
     def inv_deconv(w):
-        return np.transpose(w, (2, 3, 0, 1))
+        # inverse of checkpoint._deconv_t2f (incl. the torch-vs-flax
+        # spatial kernel flip)
+        return np.transpose(w[::-1, ::-1], (2, 3, 0, 1))
 
     stage_blocks = {"res2": 3, "res3": 4, "res4": 6, "res5": 3}
 

@@ -34,10 +34,10 @@ def flat_paths(tree, prefix=()):
 
 
 @pytest.fixture(scope="module")
-def converted():
+def converted(d2_state_path):
     from u2seg_tpu.engine.checkpoint import convert_d2_panoptic_fpn
 
-    ref = dict(np.load(FIX))
+    ref = dict(np.load(d2_state_path))
     params, stats = convert_d2_panoptic_fpn(ref, num_stages=3)
     return ref, params, stats
 

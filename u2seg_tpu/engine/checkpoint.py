@@ -99,8 +99,15 @@ def _conv_t2f(w: np.ndarray) -> np.ndarray:
 
 
 def _deconv_t2f(w: np.ndarray) -> np.ndarray:
-    """torch ConvTranspose2d (I, O, H, W) -> flax ConvTranspose (H, W, I, O)."""
-    return np.transpose(w, (2, 3, 0, 1))
+    """torch ConvTranspose2d (I, O, H, W) -> flax ConvTranspose (H, W, I, O).
+
+    torch's ConvTranspose2d is the gradient of conv (kernel applied
+    spatially flipped); flax's ConvTranspose applies the kernel unflipped
+    (lax.conv_transpose, transpose_kernel=False), so the spatial axes must
+    be reversed — caught by the activation-parity golden
+    (tests/golden/test_activation_parity.py: 2x2 deconv blocks came out
+    mirrored before the flip)."""
+    return np.transpose(w, (2, 3, 0, 1))[::-1, ::-1]
 
 
 def _fc_t2f(w: np.ndarray) -> np.ndarray:
