@@ -172,13 +172,15 @@ def bench_e2e(n_images: int = 200, detail_path: str | None = None):
 
     # warmup: one full batch through the bucket (compile + settle)
     n_det = 0
-    for _, out in predictor.run_batched(stream(images[:bs]), batch_size=bs):
+    for _, out in predictor.run_batched(stream(images[:bs]), batch_size=bs,
+                                        device_render=cfg.test.device_render):
         n_det += len(out["instances"]["scores"])
 
     t0 = time.perf_counter()
     count = 0
     seg_count = 0
-    for _, out in predictor.run_batched(stream(images), batch_size=bs):
+    for _, out in predictor.run_batched(stream(images), batch_size=bs,
+                                        device_render=cfg.test.device_render):
         count += 1
         seg_count += len(out["segments"])
     dt = time.perf_counter() - t0

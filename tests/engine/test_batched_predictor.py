@@ -14,11 +14,19 @@ def _predictor():
 
     cfg = tiny_spmd_config()
     cfg = dataclasses.replace(
-        cfg, input=dataclasses.replace(
+        cfg,
+        input=dataclasses.replace(
             cfg.input,
             min_size_test=64, max_size_test=128,
             pad_buckets=((64, 128), (128, 64)),
-        ))
+        ),
+        test=dataclasses.replace(
+            cfg.test,
+            # canvas covers the 40x80 / 80x40 originals; the random-weight
+            # argmax map is near-worst-case, so budget ~1 run/px
+            render_canvas=(80, 80), render_max_runs=8192,
+        ),
+    )
     return DefaultPredictor(cfg)
 
 
@@ -63,6 +71,26 @@ def test_run_batched_matches_single_image():
     assert sorted(got) == sorted(sequential)
     for i in sequential:
         _assert_same(got[i], sequential[i])
+
+
+@pytest.mark.slow
+def test_run_batched_device_render_matches_host_render():
+    """The on-device full-res render path (engine/device_render.py) must
+    reproduce the host-render path per image (same pipeline, the render
+    moved on device + RLE fetch)."""
+    pred = _predictor()
+    imgs = _images(5, seed=1)
+    host = dict(pred.run_batched(enumerate(imgs), batch_size=2))
+    dev = dict(pred.run_batched(enumerate(imgs), batch_size=2,
+                                device_render=True))
+    assert sorted(dev) == sorted(host)
+    for i in host:
+        _assert_same(dev[i], host[i])
+        # device-render mode skips the per-instance host mask paste
+        assert "masks" not in dev[i]["instances"]
+        # segment structure must match exactly (ids, kinds, instance refs)
+        for a, b in zip(dev[i]["segments"], host[i]["segments"]):
+            assert a["id"] == b["id"] and a["isthing"] == b["isthing"]
 
 
 @pytest.mark.slow

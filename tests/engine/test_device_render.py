@@ -1,0 +1,184 @@
+"""Device render (engine/device_render.py) vs the exact host oracle
+(engine/panoptic_render.py).
+
+The device path must reproduce the host render bit-for-bit on
+well-conditioned inputs (no argmax/threshold ties): same semantic argmax
+map, same panoptic id map (sequential ids), same segments_info.
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from u2seg_tpu.engine import device_render as dr  # noqa: E402
+from u2seg_tpu.engine import panoptic_render as pr  # noqa: E402
+
+
+def _fetch(r: dr.RenderedImage) -> dict:
+    return {
+        f.name: np.asarray(getattr(r, f.name))
+        for f in dataclasses.fields(r)
+    }
+
+
+class TestRLE:
+    def test_roundtrip(self):
+        rng = np.random.RandomState(0)
+        flat = np.repeat(rng.randint(0, 7, 40), rng.randint(1, 9, 40))
+        s, v, n = dr.rle_encode(jnp.asarray(flat), max_runs=128)
+        assert int(n) <= 128
+        dec = dr.rle_decode(np.asarray(s), np.asarray(v), int(n), len(flat))
+        np.testing.assert_array_equal(dec, flat)
+
+    def test_single_run(self):
+        flat = np.zeros(100, np.int32)
+        s, v, n = dr.rle_encode(jnp.asarray(flat), max_runs=8)
+        assert int(n) == 1
+        dec = dr.rle_decode(np.asarray(s), np.asarray(v), int(n), 100)
+        np.testing.assert_array_equal(dec, flat)
+
+    def test_overflow_detected(self):
+        flat = np.arange(50, dtype=np.int32)  # 50 runs
+        _, _, n = dr.rle_encode(jnp.asarray(flat), max_runs=16)
+        assert int(n) == 50  # caller compares n > max_runs -> fallback
+
+    def test_vmappable(self):
+        rng = np.random.RandomState(1)
+        flat = rng.randint(0, 3, (4, 64)).astype(np.int32)
+        s, v, n = jax.vmap(lambda f: dr.rle_encode(f, 64))(jnp.asarray(flat))
+        for b in range(4):
+            dec = dr.rle_decode(
+                np.asarray(s[b]), np.asarray(v[b]), int(n[b]), 64
+            )
+            np.testing.assert_array_equal(dec, flat[b])
+
+
+class TestSemChain:
+    @pytest.mark.parametrize("ih,iw,oh,ow", [
+        (30, 40, 22, 31),    # downscale
+        (16, 20, 40, 52),    # upscale
+        (32, 40, 32, 40),    # identity second stage
+    ])
+    def test_composed_weights_match_host_chain(self, ih, iw, oh, ow):
+        rng = np.random.RandomState(2)
+        h4, w4, c = 8, 10, 5
+        logits = rng.randn(h4, w4, c).astype(np.float32)
+        ref = pr.sem_seg_probs_full_res(logits, (ih, iw), (oh, ow))
+
+        oh_c, ow_c = 48, 56
+        wy = dr.sem_resize_weights(oh_c, h4, 4, jnp.int32(ih), jnp.int32(oh))
+        wx = dr.sem_resize_weights(ow_c, w4, 4, jnp.int32(iw), jnp.int32(ow))
+        full = np.asarray(jnp.einsum(
+            "ip,pqc,jq->ijc", wy, jnp.asarray(logits), wx,
+            precision=jax.lax.Precision.HIGHEST,
+        ))[:oh, :ow]
+        np.testing.assert_allclose(full, ref, rtol=1e-5, atol=1e-5)
+
+
+def _make_case(seed=0, k=12, m=14, h4=12, w4=16, c=6,
+               ih=44, iw=60, oh=36, ow=50):
+    """Well-separated synthetic detections + sem logits (no ties)."""
+    rng = np.random.RandomState(seed)
+    boxes = np.zeros((k, 4), np.float32)
+    xy = rng.rand(k, 2) * [iw * 0.6, ih * 0.6]
+    wh = rng.rand(k, 2) * [iw * 0.35, ih * 0.35] + 6
+    boxes[:, :2] = xy
+    boxes[:, 2:] = xy + wh
+    scores = np.sort(rng.rand(k).astype(np.float32))[::-1] * 0.6 + 0.35
+    scores[k // 2:] = rng.rand(k - k // 2) * 0.3  # below conf thresh
+    classes = rng.randint(0, 9, k).astype(np.int32)
+    valid = np.ones(k, bool)
+    valid[-1] = False
+    mask_logits = rng.randn(k, m, m).astype(np.float32) * 4  # away from 0
+    sem_logits = rng.randn(h4, w4, c).astype(np.float32) * 3
+    return (boxes, scores, classes, valid, mask_logits, sem_logits,
+            (ih, iw), (oh, ow))
+
+
+class TestFullRender:
+    CANVAS = (40, 56)
+    # random sem logits make a near-worst-case argmax map: budget must
+    # cover up to one run per pixel of the 40x56 canvas
+    KW = dict(k_fuse=10, max_runs=4096,
+              instance_conf_thresh=0.5, overlap_thresh=0.5,
+              stuff_area_limit=40)
+
+    def _run_device(self, case):
+        (boxes, scores, classes, valid, mask_logits, sem_logits,
+         ihw, ohw) = case
+        r = jax.jit(
+            lambda *a: dr.render_image(*a, canvas=self.CANVAS, **self.KW)
+        )(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+            jnp.asarray(valid), jnp.asarray(mask_logits),
+            jnp.asarray(sem_logits),
+            jnp.asarray(ihw, jnp.int32), jnp.asarray(ohw, jnp.int32),
+        )
+        fetched = _fetch(r)
+        fetched["det_valid"] = valid
+        return fetched
+
+    def _run_host(self, case):
+        (boxes, scores, classes, valid, mask_logits, sem_logits,
+         ihw, ohw) = case
+        return pr.render_panoptic_output(
+            boxes, scores, classes, valid, mask_logits, sem_logits,
+            ihw, ohw,
+            instance_conf_thresh=self.KW["instance_conf_thresh"],
+            overlap_thresh=self.KW["overlap_thresh"],
+            stuff_area_limit=self.KW["stuff_area_limit"],
+        )
+
+    @pytest.mark.parametrize("seed", [0, 3, 7, 11])
+    def test_matches_host_oracle(self, seed):
+        case = _make_case(seed=seed)
+        fetched = self._run_device(case)
+        assert not bool(fetched["fallback"])
+        sem_d, pan_d, segs_d = dr.decode_rendered_image(
+            fetched, self.CANVAS, case[-1]
+        )
+        sem_h, pan_h, segs_h = self._run_host(case)
+
+        mismatch = np.mean(sem_d != sem_h)
+        assert mismatch == 0.0, f"sem argmax mismatch {mismatch:.2%}"
+        np.testing.assert_array_equal(pan_d, pan_h)
+        assert len(segs_d) == len(segs_h)
+        for a, b in zip(segs_d, segs_h):
+            assert a["id"] == b["id"] and a["isthing"] == b["isthing"]
+            assert a["category_id"] == b["category_id"]
+            if a["isthing"]:
+                assert a["instance_id"] == b["instance_id"]
+                np.testing.assert_allclose(a["score"], b["score"], rtol=1e-6)
+            else:
+                assert a["area"] == b["area"]
+
+    def test_no_detections(self):
+        case = _make_case(seed=5)
+        boxes, scores, classes, valid, ml, sl, ihw, ohw = case
+        case = (boxes, scores * 0.0, classes, valid, ml, sl, ihw, ohw)
+        fetched = self._run_device(case)
+        sem_d, pan_d, segs_d = dr.decode_rendered_image(
+            fetched, self.CANVAS, ohw
+        )
+        sem_h, pan_h, segs_h = self._run_host(case)
+        np.testing.assert_array_equal(pan_d, pan_h)
+        np.testing.assert_array_equal(sem_d, sem_h)
+        assert all(not s["isthing"] for s in segs_d)
+        assert len(segs_d) == len(segs_h)
+
+    def test_fallback_flags(self):
+        case = _make_case()
+        # original size exceeding the canvas -> fallback
+        big = case[:-1] + ((self.CANVAS[0] + 8, self.CANVAS[1]),)
+        fetched = self._run_device(big)
+        assert bool(fetched["fallback"])
+
+        # eligible instances exceeding the fusion budget -> fallback
+        boxes, scores, classes, valid, ml, sl, ihw, ohw = case
+        many = (boxes, np.full_like(scores, 0.9), classes,
+                np.ones_like(valid), ml, sl, ihw, ohw)
+        fetched = self._run_device(many)
+        assert bool(fetched["fallback"])

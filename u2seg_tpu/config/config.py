@@ -343,6 +343,14 @@ class TestConfig:
     # device batch for dataset evaluation (DefaultPredictor.run_batched);
     # the reference tests one image at a time (defaults.py:253)
     ims_per_batch: int = 8
+    # on-device exact full-res render (engine/device_render.py): the eval
+    # pipeline fetches RLE panoptic/semantic maps + segment tables instead
+    # of raw logits. Images that exceed the canvas / budgets fall back to
+    # the exact host render per image.
+    device_render: bool = True
+    render_canvas: Tuple[int, int] = (640, 640)   # >= any original (oh, ow)
+    render_k_fuse: int = 50                       # fusion instance budget
+    render_max_runs: int = 16384                  # RLE run budget per map
 
 
 @dataclass

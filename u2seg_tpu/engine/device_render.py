@@ -1,0 +1,358 @@
+"""On-device exact full-resolution panoptic render with RLE-packed fetch.
+
+TPU-first replacement for the host render pipeline
+(``engine/panoptic_render.py``) on the dataset-evaluation path. The
+reference performs mask paste / semantic upsample / panoptic fusion on the
+host per image (``detectron2/layers/mask_ops.py:74``,
+``modeling/postprocessing.py:77``, ``meta_arch/panoptic_fpn.py:184-269``);
+shipping the 28-channel stride-4 semantic logits (7.5 MB/img f32) and
+100x28x28 mask logits to the host dominates end-to-end time whenever the
+host link is the bottleneck. Here the full chain runs on device at the
+original image resolution inside the same jit as the model forward, and the
+host fetches only:
+
+  - run-length-encoded panoptic id map and semantic argmax map
+    (~100-200 KB/img instead of ~8 MB/img),
+  - small per-segment tables (who was painted, scores, classes, areas).
+
+Exactness: the math mirrors ``panoptic_render.py`` — the two-stage bilinear
+semantic chain (head 4x upsample then crop + resize to the original
+resolution, ``semantic_seg.py:231`` + ``postprocessing.py:77``) is composed
+into per-axis 4-tap weight matrices evaluated as f32 matmuls on the MXU;
+mask paste uses the separable-matmul ``ops/mask_paste.py`` at HIGHEST
+precision; fusion reuses the fixpoint greedy of
+``models/panoptic_fpn.combine_semantic_and_instance`` with the reference's
+*sequential compacted* segment ids (instances in paint order, then stuff
+in ascending label order). Differences vs the float64 host oracle are
+confined to sub-ulp ties (argmax / 0.5-threshold pixels); see
+``tests/engine/test_device_render.py``.
+
+Static shapes: the render canvas (``cfg.test.render_canvas``) bounds the
+original resolution; the per-image (oh, ow) enters only through traced
+scalars (gather positions / masks), so one compile covers every original
+size that fits the canvas. Images that do not fit — or whose RLE exceeds
+``max_runs``, or that have more eligible instances than ``k_fuse`` — raise
+a per-image fallback flag and the host renders those exactly
+(``panoptic_render.render_panoptic_output``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from u2seg_tpu.ops.mask_paste import paste_masks
+
+
+# ---------------------------------------------------------------------------
+# Device-side pieces
+# ---------------------------------------------------------------------------
+
+def _clamped_axis_weights(coord: jnp.ndarray, src_size: int) -> jnp.ndarray:
+    """(P,) float sample coords -> (P, src_size) 2-tap bilinear weights with
+    border-replicate clamping (cv2.resize INTER_LINEAR float semantics:
+    src = (dst+0.5)*scale - 0.5, taps clamped into [0, ssize-1])."""
+    j = jnp.arange(src_size, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(coord[:, None] - j[None, :]))
+
+
+def sem_resize_weights(
+    out_size: int,        # static canvas extent along this axis
+    s4_size: int,         # static stride-4 logits extent
+    stride: int,
+    in_valid: jnp.ndarray,    # () traced: valid input extent (ih or iw)
+    out_valid: jnp.ndarray,   # () traced: original extent (oh or ow)
+) -> jnp.ndarray:
+    """Composed per-axis weights (out_size, s4_size) of the exact two-stage
+    bilinear chain: stride-s upsample of the s4 logits (border replicate),
+    crop to ``in_valid``, resize to ``out_valid``.
+
+    Both stages are linear along the axis, so the composition is a single
+    (out, s4) matrix: W = B @ A with A the static 4x-upsample weights and B
+    the dynamic crop+resize weights. Rows >= out_valid are garbage and must
+    be masked by the caller's valid-region mask.
+    """
+    up = s4_size * stride
+    # stage A (static): y-th upsampled row samples s4 at (y+0.5)/stride - 0.5
+    ca = jnp.clip(
+        (jnp.arange(up, dtype=jnp.float32) + 0.5) / stride - 0.5,
+        0.0, s4_size - 1.0,
+    )
+    a = _clamped_axis_weights(ca, s4_size)                    # (up, s4)
+    # stage B (dynamic): i-th output row samples the cropped upsampled field
+    # at (i+0.5) * in_valid/out_valid - 0.5, clamped to the crop border
+    scale = in_valid.astype(jnp.float32) / jnp.maximum(
+        out_valid.astype(jnp.float32), 1.0
+    )
+    cb = jnp.clip(
+        (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5,
+        0.0, jnp.maximum(in_valid.astype(jnp.float32) - 1.0, 0.0),
+    )
+    b = _clamped_axis_weights(cb, up)                         # (out, up)
+    return jax.lax.dot(
+        b, a, precision=jax.lax.Precision.HIGHEST
+    )                                                          # (out, s4)
+
+
+def rle_encode(flat: jnp.ndarray, max_runs: int):
+    """Run-length encode a flat int array with a static run budget.
+
+    Returns (starts (max_runs,) int32, values int32, n_runs int32). Runs
+    beyond the budget are dropped (caller checks ``n_runs <= max_runs`` and
+    falls back). Decoding: run r covers [starts[r], starts[r+1]) with value
+    values[r]; the last run ends at ``flat.size``.
+    """
+    n = flat.shape[0]
+    boundary = flat[1:] != flat[:-1]                          # (n-1,)
+    rank = jnp.cumsum(boundary.astype(jnp.int32))             # 1-based
+    n_runs = rank[-1] + 1
+    # scatter run-start positions into their slots; overflow -> dummy slot
+    dest = jnp.where(boundary, jnp.minimum(rank, max_runs), max_runs)
+    starts = jnp.zeros((max_runs + 1,), jnp.int32).at[dest].max(
+        jnp.arange(1, n, dtype=jnp.int32)
+    )[:max_runs]
+    values = flat[jnp.minimum(starts, n - 1)].astype(jnp.int32)
+    return starts, values, n_runs
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RenderedImage:
+    """Compact device render of one image (all shapes static)."""
+    pan_starts: jnp.ndarray       # (R,) int32
+    pan_values: jnp.ndarray       # (R,) int32
+    pan_nruns: jnp.ndarray        # () int32
+    sem_starts: jnp.ndarray       # (R,) int32
+    sem_values: jnp.ndarray       # (R,) int32
+    sem_nruns: jnp.ndarray        # () int32
+    takes: jnp.ndarray            # (Kf,) bool  — painted, in sorted order
+    order: jnp.ndarray            # (Kf,) int32 — det slot per sorted rank
+    sorted_scores: jnp.ndarray    # (Kf,)
+    sorted_classes: jnp.ndarray   # (Kf,) int32
+    stuff_ok: jnp.ndarray         # (C,) bool
+    stuff_area: jnp.ndarray       # (C,) int32
+    fallback: jnp.ndarray         # () bool — host must re-render exactly
+
+
+def render_image(
+    boxes: jnp.ndarray,           # (K, 4) XYXY network-input coords
+    scores: jnp.ndarray,          # (K,)
+    classes: jnp.ndarray,         # (K,) int32
+    valid: jnp.ndarray,           # (K,) bool
+    mask_logits: jnp.ndarray,     # (K, M, M)
+    sem_logits: jnp.ndarray,      # (H4, W4, C) stride-4, padded
+    input_hw: jnp.ndarray,        # (2,) int32 valid network-input size
+    orig_hw: jnp.ndarray,         # (2,) int32 original size
+    *,
+    canvas: Tuple[int, int],
+    k_fuse: int,
+    max_runs: int,
+    stride: int = 4,
+    instance_conf_thresh: float = 0.5,
+    overlap_thresh: float = 0.5,
+    stuff_area_limit: int = 4096,
+) -> RenderedImage:
+    """Exact full-res render of one image on device (see module docstring)."""
+    oh_c, ow_c = canvas
+    h4, w4, num_stuff = sem_logits.shape
+    k = boxes.shape[0]
+    k_fuse = min(k_fuse, k)
+    ih, iw = input_hw[0], input_hw[1]
+    oh, ow = orig_hw[0], orig_hw[1]
+
+    yy = jnp.arange(oh_c, dtype=jnp.int32)[:, None]
+    xx = jnp.arange(ow_c, dtype=jnp.int32)[None, :]
+    inside = (yy < oh) & (xx < ow)                            # (OH, OW)
+
+    # ---- semantic: composed two-stage bilinear + argmax -----------------
+    wy = sem_resize_weights(oh_c, h4, stride, ih, oh)         # (OH, H4)
+    wx = sem_resize_weights(ow_c, w4, stride, iw, ow)         # (OW, W4)
+    sem_full = jnp.einsum(
+        "ip,pqc,jq->ijc", wy, sem_logits.astype(jnp.float32), wx,
+        precision=jax.lax.Precision.HIGHEST, optimize=True,
+    )
+    sem_lab = jnp.where(
+        inside, jnp.argmax(sem_full, axis=-1).astype(jnp.int32), 0
+    )
+
+    # ---- instances: sort, truncate to the fusion budget ------------------
+    ordr = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))   # stable
+    ordr = ordr[:k_fuse].astype(jnp.int32)
+    sscores = scores[ordr]
+    sclasses = classes[ordr].astype(jnp.int32)
+    svalid = valid[ordr]
+
+    # boxes -> original-resolution coords (detector_postprocess,
+    # ref modeling/postprocessing.py:9)
+    sb = boxes[ordr].astype(jnp.float32)
+    sx = ow.astype(jnp.float32) / iw.astype(jnp.float32)
+    sy = oh.astype(jnp.float32) / ih.astype(jnp.float32)
+    sb = sb * jnp.array([1, 0, 1, 0], jnp.float32) * sx + \
+         sb * jnp.array([0, 1, 0, 1], jnp.float32) * sy
+    sb = jnp.clip(
+        sb,
+        0.0,
+        jnp.stack([ow, oh, ow, oh]).astype(jnp.float32)[None, :],
+    )
+
+    masks_full = paste_masks(
+        jax.nn.sigmoid(mask_logits[ordr].astype(jnp.float32)), sb,
+        oh_c, ow_c, precision=jax.lax.Precision.HIGHEST,
+    ) > 0.5
+    masks_full = masks_full & inside[None]
+
+    area = jnp.sum(masks_full, axis=(1, 2))                   # (Kf,)
+    eligible = svalid & (sscores >= instance_conf_thresh) & (area > 0)
+    idx3 = jnp.arange(k_fuse, dtype=jnp.int32)[:, None, None]
+
+    def winner_map(take):
+        cov = masks_full & take[:, None, None]
+        return jnp.min(jnp.where(cov, idx3, k_fuse), axis=0)  # (OH, OW)
+
+    def fix_body(state):
+        take, _ = state
+        wm = winner_map(take)
+        inter = jnp.sum(masks_full & (wm[None] < idx3), axis=(1, 2))
+        new = eligible & (inter / jnp.maximum(area, 1) <= overlap_thresh)
+        return new, jnp.any(new != take)
+
+    takes, _ = jax.lax.while_loop(
+        lambda s: s[1], fix_body, (eligible, jnp.asarray(True))
+    )
+    wm = winner_map(takes)
+    claimed = wm < k_fuse
+    # sequential ids in paint (= sorted) order, ref panoptic_fpn.py:232-245
+    seq = jnp.cumsum(takes.astype(jnp.int32))                 # (Kf,) 1-based
+    n_inst = seq[-1] if k_fuse else jnp.int32(0)
+    inst_id_map = jnp.where(
+        claimed, seq[jnp.minimum(wm, k_fuse - 1)], 0
+    ).astype(jnp.int32)
+
+    # ---- stuff fill (ref panoptic_fpn.py:246-266) ------------------------
+    stuff_mask = (~claimed) & (sem_lab > 0) & inside
+    onehot = jax.nn.one_hot(sem_lab, num_stuff, dtype=jnp.int32)
+    stuff_area = jnp.sum(
+        onehot * stuff_mask[..., None].astype(jnp.int32), axis=(0, 1)
+    )
+    stuff_ok = (stuff_area >= stuff_area_limit) & (
+        jnp.arange(num_stuff) > 0
+    )
+    # sequential stuff ids after the instances, ascending label order
+    stuff_rank = jnp.cumsum(stuff_ok.astype(jnp.int32))       # (C,) 1-based
+    stuff_id = n_inst + stuff_rank                            # (C,)
+    lab_ok = (jnp.sum(onehot * stuff_ok[None, None], axis=-1) > 0) & stuff_mask
+    stuff_id_map = jnp.where(
+        lab_ok, jnp.sum(onehot * stuff_id[None, None], axis=-1), 0
+    ).astype(jnp.int32)
+
+    pan = jnp.where(inside, inst_id_map + stuff_id_map, 0)
+
+    # ---- pack -------------------------------------------------------------
+    pan_s, pan_v, pan_n = rle_encode(pan.reshape(-1), max_runs)
+    sem_s, sem_v, sem_n = rle_encode(sem_lab.reshape(-1), max_runs)
+
+    n_eligible_all = jnp.sum(
+        valid & (scores >= instance_conf_thresh)
+    )
+    fallback = (
+        (oh > oh_c) | (ow > ow_c)
+        | (pan_n > max_runs) | (sem_n > max_runs)
+        | (n_eligible_all > k_fuse)
+    )
+    return RenderedImage(
+        pan_starts=pan_s, pan_values=pan_v, pan_nruns=pan_n,
+        sem_starts=sem_s, sem_values=sem_v, sem_nruns=sem_n,
+        takes=takes, order=ordr, sorted_scores=sscores,
+        sorted_classes=sclasses, stuff_ok=stuff_ok, stuff_area=stuff_area,
+        fallback=fallback,
+    )
+
+
+def render_batch(
+    det,                          # Detections pytree, batched (B, ...)
+    sem_logits: jnp.ndarray,      # (B, H4, W4, C)
+    image_sizes: jnp.ndarray,     # (B, 2)
+    orig_sizes: jnp.ndarray,      # (B, 2)
+    **kw,
+) -> RenderedImage:
+    """Sequentially-mapped batch render (lax.map bounds peak HBM: the
+    per-image paste/fusion canvases are ~0.5 GB each at a 640^2 canvas)."""
+    def one(args):
+        b, s, c, v, m, sl, hw, ohw = args
+        return render_image(b, s, c, v, m, sl, hw, ohw, **kw)
+
+    return jax.lax.map(one, (
+        det.boxes, det.scores, det.classes, det.valid, det.mask_logits,
+        sem_logits, image_sizes, orig_sizes,
+    ))
+
+
+# ---------------------------------------------------------------------------
+# Host-side decode
+# ---------------------------------------------------------------------------
+
+def rle_decode(starts: np.ndarray, values: np.ndarray, n_runs: int,
+               total: int) -> np.ndarray:
+    """Inverse of ``rle_encode`` (host, numpy)."""
+    n = int(n_runs)
+    s = np.asarray(starts[:n], np.int64)
+    v = np.asarray(values[:n])
+    lengths = np.diff(np.append(s, total))
+    return np.repeat(v, lengths)
+
+
+def decode_rendered_image(
+    r: dict,
+    canvas: Tuple[int, int],
+    orig_hw: Tuple[int, int],
+) -> Tuple[np.ndarray, np.ndarray, List[dict]]:
+    """Fetched per-image ``RenderedImage`` fields (numpy dict) ->
+    (sem_seg (oh, ow) int32, panoptic (oh, ow) int32, segments_info) with
+    the exact structure of ``panoptic_render.render_panoptic_output``."""
+    oh_c, ow_c = canvas
+    oh, ow = orig_hw
+    total = oh_c * ow_c
+    pan = rle_decode(
+        r["pan_starts"], r["pan_values"], r["pan_nruns"], total
+    ).reshape(oh_c, ow_c)[:oh, :ow].astype(np.int32)
+    sem = rle_decode(
+        r["sem_starts"], r["sem_values"], r["sem_nruns"], total
+    ).reshape(oh_c, ow_c)[:oh, :ow].astype(np.int32)
+
+    segments: List[dict] = []
+    takes = np.asarray(r["takes"], bool)
+    order = np.asarray(r["order"], np.int64)
+    scores = np.asarray(r["sorted_scores"], np.float64)
+    classes = np.asarray(r["sorted_classes"], np.int64)
+    # detections_to_records filters by valid; segment instance_id indexes
+    # those filtered arrays (slot -> filtered index = #valid slots before it)
+    valid = np.asarray(r["det_valid"], bool)
+    filt_idx = np.cumsum(valid) - 1
+    cur = 0
+    for i in range(len(takes)):
+        if not takes[i]:
+            continue
+        cur += 1
+        segments.append({
+            "id": cur,
+            "isthing": True,
+            "score": float(scores[i]),
+            "category_id": int(classes[i]),
+            "instance_id": int(filt_idx[order[i]]),
+        })
+    stuff_ok = np.asarray(r["stuff_ok"], bool)
+    stuff_area = np.asarray(r["stuff_area"], np.int64)
+    for lab in range(1, len(stuff_ok)):
+        if not stuff_ok[lab]:
+            continue
+        cur += 1
+        segments.append({
+            "id": cur,
+            "isthing": False,
+            "category_id": int(lab),
+            "area": int(stuff_area[lab]),
+        })
+    return sem, pan, segments

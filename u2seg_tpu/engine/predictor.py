@@ -108,6 +108,35 @@ class DefaultPredictor:
 
         self._fwd = jax.jit(fwd)
 
+        def fwd_render(variables, image, size, orig_size):
+            # TPU-first eval path: exact full-res render on device, host
+            # fetches RLE maps + segment tables (engine/device_render.py)
+            from u2seg_tpu.engine.device_render import render_batch
+
+            out = self.model.apply(
+                variables, image, size, train=False, combine=False
+            )
+            pano = cfg.model.panoptic
+            rendered = render_batch(
+                out.detections, out.sem_seg_logits, size, orig_size,
+                canvas=tuple(cfg.test.render_canvas),
+                k_fuse=cfg.test.render_k_fuse,
+                max_runs=cfg.test.render_max_runs,
+                instance_conf_thresh=pano.instance_conf_thresh,
+                overlap_thresh=pano.overlap_thresh,
+                stuff_area_limit=pano.stuff_area_limit,
+            )
+            det = out.detections
+            small_det = {
+                "boxes": det.boxes, "scores": det.scores,
+                "classes": det.classes, "valid": det.valid,
+            }
+            # mask/sem logits returned for rare host fallbacks; they are
+            # fetched only when touched, so no per-batch transfer cost
+            return rendered, small_det, det.mask_logits, out.sem_seg_logits
+
+        self._fwd_render = jax.jit(fwd_render)
+
     def _prepare(self, original_image: np.ndarray):
         """Raw image -> (bucket-padded f32 input, (h, w), (oh, ow))."""
         from u2seg_tpu.data import transforms as T
@@ -127,7 +156,10 @@ class DefaultPredictor:
             rescale = T.ResizeTransform(h, w, int(h * s), int(w * s))
             image = rescale.apply_image(image)
             h, w = image.shape[:2]
-        padded = np.zeros((bh, bw, 3), np.float32)
+        # keep uint8 inputs uint8: the device normalizes in f32 anyway, and
+        # a u8 host->device transfer is 4x smaller than f32
+        dt = np.uint8 if image.dtype == np.uint8 else np.float32
+        padded = np.zeros((bh, bw, 3), dt)
         padded[:h, :w] = image
         return padded, (h, w), (oh, ow)
 
@@ -186,7 +218,46 @@ class DefaultPredictor:
         det_np, sem_np = self._fetch_image(out, 0)
         return self._post(det_np, sem_np, hw, ohow)
 
-    def run_batched(self, examples, batch_size: int = 4):
+    def _drain_rendered(self, group, n_real, out):
+        """Decode one in-flight device-rendered batch (single pytree fetch:
+        RLE maps + segment tables, ~0.2 MB/img instead of ~8 MB/img)."""
+        import dataclasses as _dc
+
+        import jax
+
+        from u2seg_tpu.engine.device_render import decode_rendered_image
+
+        rendered, small_det, mask_logits, sem_logits = out
+        rend_tree = {
+            f.name: getattr(rendered, f.name) for f in _dc.fields(rendered)
+        }
+        rend, det = jax.device_get((rend_tree, small_det))
+        canvas = tuple(self.cfg.test.render_canvas)
+        for i in range(n_real):
+            meta, _, hw, ohow = group[i]
+            det_i = {k: v[i] for k, v in det.items()}
+            if bool(rend["fallback"][i]):
+                # exact host re-render (image exceeds the canvas / run or
+                # fusion budget); logits are fetched only here
+                if mask_logits is not None:
+                    det_i["mask_logits"] = np.asarray(mask_logits[i])
+                sem_np = np.asarray(sem_logits[i])
+                yield meta, self._post(det_i, sem_np, tuple(hw), ohow)
+                continue
+            records = detections_to_records(
+                det_i["boxes"], det_i["scores"], det_i["classes"],
+                det_i["valid"], None, tuple(hw), ohow,
+            )
+            r = {k: v[i] for k, v in rend.items()}
+            r["det_valid"] = det_i["valid"]
+            sem, pan, segments = decode_rendered_image(r, canvas, ohow)
+            yield meta, {
+                "instances": records, "sem_seg": sem,
+                "panoptic": pan, "segments": segments,
+            }
+
+    def run_batched(self, examples, batch_size: int = 4,
+                    device_render: bool = False):
         """Batched, pipelined inference over ``(meta, image)`` pairs.
 
         The reference evaluates test sets one image at a time
@@ -212,11 +283,20 @@ class DefaultPredictor:
             stack = jnp.asarray(np.stack([g[1] for g in group]))
             sizes = jnp.asarray(
                 np.array([g[2] for g in group], np.int32))
-            out = self._fwd(self.variables, stack, sizes)  # async dispatch
+            if device_render:
+                osizes = jnp.asarray(
+                    np.array([g[3] for g in group], np.int32))
+                out = self._fwd_render(
+                    self.variables, stack, sizes, osizes)  # async dispatch
+            else:
+                out = self._fwd(self.variables, stack, sizes)
             pending.append((group, n_real, out))
 
         def drain():
             group, n_real, out = pending.popleft()
+            if device_render:
+                yield from self._drain_rendered(group, n_real, out)
+                return
             for i in range(n_real):
                 meta, _, hw, ohow = group[i]
                 det_np, sem_np = self._fetch_image(out, i)
@@ -360,7 +440,8 @@ def run_panoptic_evaluation(cfg: Config, eval_mode: str = "auto") -> dict:
         if hasattr(predictor, "run_batched"):
             # batched + one-batch-in-flight pipelined device path
             stream = predictor.run_batched(
-                examples(), batch_size=cfg.test.ims_per_batch)
+                examples(), batch_size=cfg.test.ims_per_batch,
+                device_render=cfg.test.device_render)
         else:  # per-image path (kept for stub predictors / tests)
             stream = ((inp, predictor(img)) for inp, img in examples())
 
