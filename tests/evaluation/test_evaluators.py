@@ -192,3 +192,93 @@ def test_panoptic_unmatched_cluster_zeroed(tmp_path):
     res = ev.evaluate()
     # unmatched cluster zeroed -> nothing predicted, nothing gt -> PQ n=0
     assert res["panoptic_seg"]["PQ"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Boundary IoU (ref sem_seg_evaluation.py:269-277,344-356,396-407)
+# ---------------------------------------------------------------------------
+
+def _boundary_oracle(mask: np.ndarray, iterations: int) -> np.ndarray:
+    """Independent min-filter erosion (the reference uses cv2.erode on the
+    zero-padded label map); boundary = mask - eroded."""
+    padded = np.zeros((mask.shape[0] + 2, mask.shape[1] + 2), mask.dtype)
+    padded[1:-1, 1:-1] = mask
+    for _ in range(iterations):
+        nxt = padded.copy()
+        h, w = padded.shape
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                shifted = np.full_like(padded, 0)
+                ys = slice(max(0, dy), min(h, h + dy))
+                xs = slice(max(0, dx), min(w, w + dx))
+                ys_src = slice(max(0, -dy), min(h, h - dy))
+                xs_src = slice(max(0, -dx), min(w, w - dx))
+                shifted[ys, xs] = padded[ys_src, xs_src]
+                nxt = np.minimum(nxt, shifted)
+        padded = nxt
+    return mask - padded[1:-1, 1:-1]
+
+
+def test_mask_to_boundary_matches_min_filter_oracle():
+    from u2seg_tpu.evaluation.sem_seg_evaluator import mask_to_boundary
+
+    rng = np.random.RandomState(0)
+    mask = rng.randint(0, 5, (30, 44)).astype(np.uint8)
+    # coarsen into blobby regions
+    mask = np.repeat(np.repeat(mask[::3, ::4], 3, 0), 4, 1)[:30, :44]
+    dil = max(1, int(round(0.02 * np.sqrt(30 ** 2 + 44 ** 2))))
+    expected = _boundary_oracle(mask, dil)
+    got = mask_to_boundary(mask)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_supervised_boundary_iou_perfect_prediction():
+    ev = SemSegEvaluator(mode="supervised", num_pred_classes=4)
+    rng = np.random.RandomState(1)
+    gt = np.repeat(np.repeat(rng.randint(0, 4, (8, 8)), 8, 0), 8, 1)
+    ev.process([{"sem_seg_gt": gt}], [{"sem_seg": gt.copy()}])
+    res = ev.evaluate()["sem_seg"]
+    assert res["mIoU"] == pytest.approx(100.0)
+    for i in range(4):
+        b = res[f"BoundaryIoU-{i}"]
+        assert np.isnan(b) or b == pytest.approx(100.0)
+    assert res["min(IoU, B-Iou)-0"] == pytest.approx(100.0) or np.isnan(
+        res["min(IoU, B-Iou)-0"])
+
+
+def test_supervised_boundary_iou_penalizes_boundary_errors():
+    """A prediction that is correct in region interiors but shifted at the
+    boundaries keeps a high mIoU while Boundary IoU drops."""
+    gt = np.zeros((64, 64), np.int64)
+    gt[:, 32:] = 1
+    pred = np.zeros_like(gt)
+    pred[:, 30:] = 1   # 2-px boundary shift
+    ev = SemSegEvaluator(mode="supervised", num_pred_classes=2)
+    ev.process([{"sem_seg_gt": gt}], [{"sem_seg": pred}])
+    res = ev.evaluate()["sem_seg"]
+    assert res["mIoU"] > 90.0
+    assert res["BoundaryIoU-1"] < res["IoU-1"]
+
+
+def test_eval_mode_unmatched_cluster_goes_to_ignore_bin(tmp_path):
+    """Unmatched pred clusters must land in the extra bin (ref :259-262),
+    not pollute the things class 0."""
+    matching_dir = str(tmp_path / "hm")
+    # mapping: cluster 1 -> supercat 2; cluster 2 unmatched
+    hungarian.save_mapping({0: 0, 1: 2, 2: -1},
+                           os.path.join(matching_dir, "semantic_mapping.json"))
+    ev = SemSegEvaluator(mode="eval", num_pred_classes=3,
+                         matching_dir=matching_dir)
+    gt = np.full((32, 32), 2, np.int64)      # supercat 2 everywhere
+    pred = np.full((32, 32), 1, np.int64)
+    pred[:, 16:] = 2                          # right half: unmatched cluster
+    ev.process([{"sem_seg_gt": np.full((32, 32), 300, np.int64)}], [{}])
+    ev._pairs = [(pred, gt)]
+    res = ev.evaluate()["sem_seg"]
+    # unmatched half must not appear as class-0 prediction
+    assert ev._conf_matrix[0].sum() == 0
+    assert ev._conf_matrix[ev._num_classes, 2] == 32 * 16
+    # the extra bin is excluded from pos_gt/union, so the matched half
+    # scores perfectly — the reference's (generous) semantics
+    assert res["IoU-2"] == pytest.approx(100.0)
+    assert res["pACC"] == pytest.approx(100.0)

@@ -6,7 +6,9 @@ supercategories + 0 (things) + 255 (ignore) (``transfer`` :161-201); in the
 matching pass, 27 predicted stuff clusters vote for supercategories via
 mask-IoU > 0.15 (:203-227, majority vote :146-159); in the eval pass,
 predictions are remapped and scored with a 16+1 confusion matrix
-(mIoU / fwIoU / mACC / pACC, :253-372).
+(mIoU / fwIoU / mACC / pACC, :253-372) plus per-class Boundary IoU
+(:269-277, :344-363, :396-407 — computed, as the reference does, by eroding
+the *label map* with a 3x3 min filter and differencing).
 """
 from __future__ import annotations
 
@@ -25,6 +27,25 @@ from u2seg_tpu.evaluation import hungarian
 from u2seg_tpu.evaluation.evaluator import DatasetEvaluator
 
 logger = logging.getLogger(__name__)
+
+
+def mask_to_boundary(mask: np.ndarray, dilation_ratio: float = 0.02
+                     ) -> np.ndarray:
+    """Boundary band of a uint8 label map (ref sem_seg_evaluation.py:396-407:
+    pad 1px of zeros, erode with a 3x3 kernel for round(0.02*diag)
+    iterations, subtract). Note the reference applies this to the multi-class
+    label map directly — the 'boundary' values are label differences; we
+    reproduce that behavior exactly for parity."""
+    import cv2
+
+    assert mask.ndim == 2
+    h, w = mask.shape
+    dilation = max(1, int(round(dilation_ratio * np.sqrt(h ** 2 + w ** 2))))
+    kernel = np.ones((3, 3), np.uint8)
+    padded = cv2.copyMakeBorder(mask, 1, 1, 1, 1, cv2.BORDER_CONSTANT,
+                                value=0)
+    eroded = cv2.erode(padded, kernel, iterations=dilation)[1:-1, 1:-1]
+    return mask - eroded
 
 
 def transfer_gt_to_supercategories(gt: np.ndarray) -> np.ndarray:
@@ -59,12 +80,19 @@ class SemSegEvaluator(DatasetEvaluator):
         self._ignore_label = ignore_label
         self.matching_dir = matching_dir
         self.iou_thresh = iou_thresh
+        # cv2.erode needs uint8 labels (ref :109-120)
+        self._compute_boundary_iou = self._num_classes < np.iinfo(np.uint8).max
+        try:
+            import cv2  # noqa: F401
+        except ImportError:  # pragma: no cover
+            self._compute_boundary_iou = False
         self.reset()
 
     def reset(self):
         self._conf_matrix = np.zeros(
             (self._num_classes + 1, self._num_classes + 1), dtype=np.int64
         )
+        self._b_conf_matrix = np.zeros_like(self._conf_matrix)
         self._pred_votes: List[int] = []
         self._gt_votes: List[int] = []
         self._pairs: List = []  # (pred, gt) per image when mode == auto
@@ -102,6 +130,15 @@ class SemSegEvaluator(DatasetEvaluator):
             (n + 1) * pred.reshape(-1) + gt2.reshape(-1),
             minlength=self._conf_matrix.size,
         ).reshape(self._conf_matrix.shape)
+        if self._compute_boundary_iou:
+            # ref :269-277: boundary confusion on eroded label maps
+            b_pred = mask_to_boundary(pred.astype(np.uint8)).astype(np.int64)
+            b_gt = mask_to_boundary(gt2.astype(np.uint8)).astype(np.int64)
+            self._b_conf_matrix += np.bincount(
+                (n + 1) * np.minimum(b_pred, n).reshape(-1)
+                + np.minimum(b_gt, n).reshape(-1),
+                minlength=self._b_conf_matrix.size,
+            ).reshape(self._b_conf_matrix.shape)
 
     def _metrics_from_conf(self) -> dict:
         """mIoU/fwIoU/mACC/pACC from the confusion matrix (ref :320-372)."""
@@ -121,10 +158,28 @@ class SemSegEvaluator(DatasetEvaluator):
         miou = np.sum(iou[iou_valid]) / max(np.sum(iou_valid), 1)
         fiou = np.sum(iou[iou_valid] * class_weights[iou_valid])
         pacc = np.sum(tp) / max(np.sum(pos_gt), 1)
-        return {
+        res = {
             "mIoU": 100 * miou, "fwIoU": 100 * fiou,
             "mACC": 100 * macc, "pACC": 100 * pacc,
         }
+        for i in range(n):
+            res[f"IoU-{i}"] = 100 * iou[i]
+            res[f"ACC-{i}"] = 100 * acc[i]
+        if self._compute_boundary_iou:
+            # per-class Boundary IoU (ref :344-356) + min(IoU, B-IoU) column
+            b_iou = np.full(n, np.nan, dtype=np.float64)
+            b_tp = self._b_conf_matrix.diagonal()[:-1].astype(np.float64)
+            b_pos_gt = np.sum(
+                self._b_conf_matrix[:-1, :-1], axis=0).astype(np.float64)
+            b_pos_pred = np.sum(
+                self._b_conf_matrix[:-1, :-1], axis=1).astype(np.float64)
+            b_union = b_pos_gt + b_pos_pred - b_tp
+            b_valid = b_union > 0
+            b_iou[b_valid] = b_tp[b_valid] / b_union[b_valid]
+            for i in range(n):
+                res[f"BoundaryIoU-{i}"] = 100 * b_iou[i]
+                res[f"min(IoU, B-Iou)-{i}"] = 100 * min(iou[i], b_iou[i])
+        return res
 
     def evaluate(self) -> Optional[dict]:
         if self.mode == "supervised":
@@ -144,11 +199,13 @@ class SemSegEvaluator(DatasetEvaluator):
         else:
             mapping = hungarian.load_mapping(save_path)
 
-        # eval pass: remap predictions, accumulate 16+1 confusion matrix
+        # eval pass: remap predictions, accumulate 16+1 confusion matrix.
+        # Unmatched clusters go to the extra bin (ref :259-262 maps them to
+        # _num_classes), NOT to the things slot 0.
         for pred, gt_super in self._pairs:
             remapped = np.zeros_like(pred)
             for p in np.unique(pred):
                 m = mapping.get(int(p), -1)
-                remapped[pred == p] = m if m != -1 else 0
+                remapped[pred == p] = m if m != -1 else self._num_classes
             self._accumulate_conf(remapped, gt_super)
         return OrderedDict(sem_seg=self._metrics_from_conf())
