@@ -6,18 +6,22 @@
 # any concurrently-running real TPU job. Always run tests with the trigger
 # env var stripped (tests force jax_platforms=cpu anyway).
 #
-# Tiers:
-#   dev/run_tests.sh fast   -> everything not marked slow (<~2 min target)
-#   dev/run_tests.sh slow   -> only the slow tier (big compiles, e2e loops)
-#   dev/run_tests.sh        -> full suite
+# Tiers (the verification ladder — stamp results with
+# dev/stamp_tests_green.py):
+#   dev/run_tests.sh fast    -> everything not marked slow (<~5 min)
+#   dev/run_tests.sh medium  -> slow tier minus xslow big compiles (<~10 min)
+#   dev/run_tests.sh slow    -> the full slow tier (~30 min)
+#   dev/run_tests.sh         -> full suite
 set -euo pipefail
 cd "$(dirname "$0")/.."
 case "${1:-all}" in
-  fast) shift || true
-        exec env -u PALLAS_AXON_POOL_IPS python -m pytest tests/ -m "not slow" -q "$@";;
-  slow) shift || true
-        exec env -u PALLAS_AXON_POOL_IPS python -m pytest tests/ -m slow -q "$@";;
-  all)  shift || true
-        exec env -u PALLAS_AXON_POOL_IPS python -m pytest tests/ -q "$@";;
-  *)    exec env -u PALLAS_AXON_POOL_IPS python -m pytest tests/ "$@";;
+  fast)   shift || true
+          exec env -u PALLAS_AXON_POOL_IPS python -m pytest tests/ -m "not slow" -q "$@";;
+  medium) shift || true
+          exec env -u PALLAS_AXON_POOL_IPS python -m pytest tests/ -m "slow and not xslow" -q --durations=25 "$@";;
+  slow)   shift || true
+          exec env -u PALLAS_AXON_POOL_IPS python -m pytest tests/ -m slow -q --durations=25 "$@";;
+  all)    shift || true
+          exec env -u PALLAS_AXON_POOL_IPS python -m pytest tests/ -q "$@";;
+  *)      exec env -u PALLAS_AXON_POOL_IPS python -m pytest tests/ "$@";;
 esac
