@@ -46,6 +46,23 @@ def _ensure_tpu_or_reexec(max_tries: int = 5, wait_s: int = 90) -> None:
         os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
+def _write_artifact(name: str, payload: dict) -> None:
+    """Record the measurement (+ git SHA) under artifacts/ — the
+    round-over-round evidence trail; stdout stays the driver contract."""
+    if not os.path.isdir("artifacts"):
+        return
+    import subprocess
+
+    try:
+        sha = subprocess.run(["git", "rev-parse", "HEAD"],
+                             capture_output=True, text=True).stdout.strip()
+    except OSError:
+        sha = ""
+    with open(os.path.join("artifacts", name), "w") as f:
+        json.dump(dict(payload, sha=sha), f, indent=1)
+        f.write("\n")
+
+
 def bench_train():
     """Train-step throughput on the local chip (``bench.py --train``).
 
@@ -118,12 +135,14 @@ def bench_train():
 
     imgs_per_s = b * iters / dt
     baseline_per_chip = 62.0 / 8.0
-    print(json.dumps({
+    result = {
         "metric": "coco_panoptic_train_imgs_per_sec_per_chip",
         "value": round(imgs_per_s, 2),
         "unit": "img/s",
         "vs_baseline": round(imgs_per_s / baseline_per_chip, 4),
-    }))
+    }
+    _write_artifact("bench_train.json", result)
+    print(json.dumps(result))
 
 
 def bench_e2e(n_images: int = 200, detail_path: str | None = None):
@@ -173,14 +192,16 @@ def bench_e2e(n_images: int = 200, detail_path: str | None = None):
     # warmup: one full batch through the bucket (compile + settle)
     n_det = 0
     for _, out in predictor.run_batched(stream(images[:bs]), batch_size=bs,
-                                        device_render=cfg.test.device_render):
+                                        device_render=cfg.test.device_render,
+                                        device_resize=cfg.test.device_resize):
         n_det += len(out["instances"]["scores"])
 
     t0 = time.perf_counter()
     count = 0
     seg_count = 0
     for _, out in predictor.run_batched(stream(images), batch_size=bs,
-                                        device_render=cfg.test.device_render):
+                                        device_render=cfg.test.device_render,
+                                        device_resize=cfg.test.device_resize):
         count += 1
         seg_count += len(out["segments"])
     dt = time.perf_counter() - t0
@@ -196,9 +217,9 @@ def bench_e2e(n_images: int = 200, detail_path: str | None = None):
     if detail_path:
         detail = dict(result, n_images=count,
                       dets_per_img_warmup=n_det / max(bs, 1),
-                      segments_per_img=seg_count / max(count, 1))
-        with open(detail_path, "w") as f:
-            json.dump(detail, f, indent=1)
+                      segments_per_img=seg_count / max(count, 1),
+                      device_render=cfg.test.device_render)
+        _write_artifact(os.path.basename(detail_path), detail)
     print(json.dumps(result))
 
 
@@ -256,12 +277,14 @@ def bench_forward():
 
     imgs_per_s = b * iters / dt
     baseline_per_chip = 1000.0 / 8.0
-    print(json.dumps({
+    result = {
         "metric": "coco_panoptic_inference_imgs_per_sec_per_chip",
         "value": round(imgs_per_s, 2),
         "unit": "img/s",
         "vs_baseline": round(imgs_per_s / baseline_per_chip, 4),
-    }))
+    }
+    _write_artifact("bench_forward.json", result)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -25,6 +25,7 @@ def _predictor():
             # canvas covers the 40x80 / 80x40 originals; the random-weight
             # argmax map is near-worst-case, so budget ~1 run/px
             render_canvas=(80, 80), render_max_runs=8192,
+            raw_buckets=((80, 80),),
         ),
     )
     return DefaultPredictor(cfg)
@@ -100,3 +101,19 @@ def test_run_batched_single_group_padding():
     (meta, res), = list(pred.run_batched([("only", imgs[0])], batch_size=4))
     assert meta == "only"
     _assert_same(res, pred(imgs[0]))
+
+
+@pytest.mark.slow
+def test_run_batched_device_resize_matches_host_resize():
+    """Raw-u8 upload + on-device resize must reproduce the host-resize
+    device-render path (both implement the same float bilinear; diffs are
+    f32 rounding only)."""
+    pred = _predictor()
+    imgs = _images(4, seed=2)
+    host = dict(pred.run_batched(enumerate(imgs), batch_size=2,
+                                 device_render=True))
+    dev = dict(pred.run_batched(enumerate(imgs), batch_size=2,
+                                device_render=True, device_resize=True))
+    assert sorted(dev) == sorted(host)
+    for i in host:
+        _assert_same(dev[i], host[i])

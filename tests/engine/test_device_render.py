@@ -182,3 +182,29 @@ class TestFullRender:
                 np.ones_like(valid), ml, sl, ihw, ohw)
         fetched = self._run_device(many)
         assert bool(fetched["fallback"])
+
+
+class TestDeviceResize:
+    @pytest.mark.parametrize("oh,ow,ih,iw", [
+        (30, 44, 46, 67),    # upscale (the test-time norm: short edge up)
+        (50, 40, 25, 20),    # downscale
+        (32, 32, 32, 32),    # identity
+    ])
+    def test_matches_f32_cv2_oracle(self, oh, ow, ih, iw):
+        import cv2
+
+        rng = np.random.RandomState(0)
+        img = (rng.rand(oh, ow, 3) * 255).astype(np.uint8)
+        ref = cv2.resize(img.astype(np.float32), (iw, ih),
+                         interpolation=cv2.INTER_LINEAR)
+
+        rh, rw, bh, bw = 64, 64, 72, 80
+        raw = np.zeros((rh, rw, 3), np.uint8)
+        raw[:oh, :ow] = img
+        out = np.asarray(jax.jit(
+            lambda r, o, s: dr.resize_image_device(r, o, s, (bh, bw))
+        )(jnp.asarray(raw), jnp.asarray([oh, ow], jnp.int32),
+          jnp.asarray([ih, iw], jnp.int32)))
+        np.testing.assert_allclose(out[:ih, :iw], ref, rtol=1e-4, atol=1e-3)
+        # padding region zeroed
+        assert np.all(out[ih:] == 0) and np.all(out[:, iw:] == 0)

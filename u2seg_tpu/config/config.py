@@ -351,6 +351,12 @@ class TestConfig:
     render_canvas: Tuple[int, int] = (640, 640)   # >= any original (oh, ow)
     render_k_fuse: int = 50                       # fusion instance budget
     render_max_runs: int = 16384                  # RLE run budget per map
+    # upload the RAW uint8 image and resize on device (needs device_render;
+    # images that fit no raw bucket fall back to the host-resize path)
+    device_resize: bool = True
+    raw_buckets: Tuple[Tuple[int, int], ...] = (
+        (480, 640), (640, 480), (640, 640)
+    )
 
 
 @dataclass

@@ -97,6 +97,47 @@ def sem_resize_weights(
     )                                                          # (out, s4)
 
 
+def resize_image_device(
+    raw: jnp.ndarray,            # (RH, RW, 3) u8/f32 raw image, zero-padded
+    orig_hw: jnp.ndarray,        # (2,) int32 valid raw extent
+    input_hw: jnp.ndarray,       # (2,) int32 resize target (<= canvas)
+    canvas: Tuple[int, int],     # static network-input bucket (BH, BW)
+) -> jnp.ndarray:
+    """Test-time resize on device (ResizeShortestEdge semantics): bilinear
+    with half-pixel centers and border replicate — the float-path
+    cv2.resize(INTER_LINEAR) formula, evaluated as two weight matmuls on
+    the MXU. The host oracle is ``ResizeTransform.apply_image`` on a
+    float32 image (predictor._prepare); uploading the RAW uint8 image and
+    resizing here cuts the host->device bytes ~3.5x vs the resized u8
+    image and ~14x vs resized f32.
+
+    Rows/cols beyond ``input_hw`` are zeroed (the model masks by
+    image_sizes anyway).
+    """
+    bh, bw = canvas
+    rh, rw = raw.shape[0], raw.shape[1]
+    oh, ow = orig_hw[0], orig_hw[1]
+    ih, iw = input_hw[0], input_hw[1]
+
+    def axis_w(out_size, src_size, src_valid, dst_valid):
+        scale = src_valid.astype(jnp.float32) / jnp.maximum(
+            dst_valid.astype(jnp.float32), 1.0)
+        coord = jnp.clip(
+            (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5,
+            0.0, jnp.maximum(src_valid.astype(jnp.float32) - 1.0, 0.0),
+        )
+        return _clamped_axis_weights(coord, src_size)
+
+    wy = axis_w(bh, rh, oh, ih)                           # (BH, RH)
+    wx = axis_w(bw, rw, ow, iw)                           # (BW, RW)
+    out = jnp.einsum(
+        "ip,pqc,jq->ijc", wy, raw.astype(jnp.float32), wx,
+        precision=jax.lax.Precision.HIGHEST, optimize=True,
+    )
+    inside = (jnp.arange(bh)[:, None] < ih) & (jnp.arange(bw)[None, :] < iw)
+    return jnp.where(inside[..., None], out, 0.0)
+
+
 def rle_encode(flat: jnp.ndarray, max_runs: int):
     """Run-length encode a flat int array with a static run budget.
 

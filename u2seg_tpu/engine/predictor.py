@@ -108,14 +108,8 @@ class DefaultPredictor:
 
         self._fwd = jax.jit(fwd)
 
-        def fwd_render(variables, image, size, orig_size):
-            # TPU-first eval path: exact full-res render on device, host
-            # fetches RLE maps + segment tables (engine/device_render.py)
+        def render_tail(out, size, orig_size):
             from u2seg_tpu.engine.device_render import render_batch
-
-            out = self.model.apply(
-                variables, image, size, train=False, combine=False
-            )
             pano = cfg.model.panoptic
             rendered = render_batch(
                 out.detections, out.sem_seg_logits, size, orig_size,
@@ -135,20 +129,55 @@ class DefaultPredictor:
             # fetched only when touched, so no per-batch transfer cost
             return rendered, small_det, det.mask_logits, out.sem_seg_logits
 
+        def fwd_render(variables, image, size, orig_size):
+            # TPU-first eval path: exact full-res render on device, host
+            # fetches RLE maps + segment tables (engine/device_render.py)
+            out = self.model.apply(
+                variables, image, size, train=False, combine=False
+            )
+            return render_tail(out, size, orig_size)
+
         self._fwd_render = jax.jit(fwd_render)
 
+        def fwd_render_raw(variables, raw, orig_size, size, bucket):
+            # raw-u8 upload variant: the test-time resize happens on device
+            # (device_render.resize_image_device), cutting host->device
+            # bytes another ~3.5x. `bucket` (static) is the network-input
+            # pad bucket for this group.
+            import jax.numpy as jnp
+
+            from u2seg_tpu.engine.device_render import resize_image_device
+
+            resized = jax.vmap(
+                lambda r, o, s: resize_image_device(r, o, s, bucket)
+            )(raw, orig_size, size)
+            out = self.model.apply(
+                variables, resized, size, train=False, combine=False
+            )
+            return render_tail(out, size, orig_size)
+
+        self._fwd_render_raw = jax.jit(
+            fwd_render_raw, static_argnames=("bucket",))
+
+    def _channels(self, original_image: np.ndarray) -> np.ndarray:
+        if self.input_format == "RGB" and original_image.shape[-1] == 3:
+            return original_image
+        return original_image[:, :, ::-1]
+
     def _prepare(self, original_image: np.ndarray):
-        """Raw image -> (bucket-padded f32 input, (h, w), (oh, ow))."""
+        """Raw image -> (bucket-padded f32 input, (h, w), (oh, ow)).
+
+        The canonical test-time resize is FLOAT bilinear (half-pixel
+        centers, border replicate): resizing in f32 makes this host path
+        and the on-device resize (device_render.resize_image_device)
+        agree to f32 rounding, where a uint8 resize would quantize."""
         from u2seg_tpu.data import transforms as T
 
-        if self.input_format == "RGB" and original_image.shape[-1] == 3:
-            image = original_image
-        else:
-            image = original_image[:, :, ::-1]
+        image = self._channels(original_image)
         oh, ow = image.shape[:2]
         rng = np.random.RandomState(0)
         tfm = self.aug.get_transform(image, rng)
-        image = tfm.apply_image(image)
+        image = tfm.apply_image(image.astype(np.float32))
         h, w = image.shape[:2]
         bh, bw = T.pick_bucket(h, w, self.buckets)
         if h > bh or w > bw:
@@ -156,12 +185,32 @@ class DefaultPredictor:
             rescale = T.ResizeTransform(h, w, int(h * s), int(w * s))
             image = rescale.apply_image(image)
             h, w = image.shape[:2]
-        # keep uint8 inputs uint8: the device normalizes in f32 anyway, and
-        # a u8 host->device transfer is 4x smaller than f32
-        dt = np.uint8 if image.dtype == np.uint8 else np.float32
-        padded = np.zeros((bh, bw, 3), dt)
+        padded = np.zeros((bh, bw, 3), np.float32)
         padded[:h, :w] = image
         return padded, (h, w), (oh, ow)
+
+    def _prepare_raw(self, original_image: np.ndarray):
+        """Raw image -> (raw-bucket-padded u8, (ih, iw), (oh, ow), bucket)
+        for the device-resize path, or None if no raw bucket fits (the
+        caller then uses the host-resize path for this image)."""
+        from u2seg_tpu.data import transforms as T
+
+        image = self._channels(original_image)
+        oh, ow = image.shape[:2]
+        raw_buckets = tuple(self.cfg.test.raw_buckets)
+        if not any(bh >= oh and bw >= ow for bh, bw in raw_buckets):
+            return None
+        size = self.cfg.input.min_size_test
+        ih, iw = T.ResizeShortestEdge.get_output_shape(
+            oh, ow, size, self.cfg.input.max_size_test)
+        bh, bw = T.pick_bucket(ih, iw, self.buckets)
+        if ih > bh or iw > bw:  # shrink-to-bucket (host path does the same)
+            s = min(bh / ih, bw / iw)
+            ih, iw = int(ih * s), int(iw * s)
+        rh, rw = T.pick_bucket(oh, ow, raw_buckets)
+        padded = np.zeros((rh, rw, 3), np.uint8)
+        padded[:oh, :ow] = image
+        return padded, (ih, iw), (oh, ow), (bh, bw)
 
     def _post(self, det_np: dict, sem_logits_np: Optional[np.ndarray],
               input_hw: Tuple[int, int], orig_hw: Tuple[int, int]) -> dict:
@@ -257,7 +306,8 @@ class DefaultPredictor:
             }
 
     def run_batched(self, examples, batch_size: int = 4,
-                    device_render: bool = False):
+                    device_render: bool = False,
+                    device_resize: bool = False):
         """Batched, pipelined inference over ``(meta, image)`` pairs.
 
         The reference evaluates test sets one image at a time
@@ -279,22 +329,29 @@ class DefaultPredictor:
         buffers: Dict[tuple, list] = defaultdict(list)
         pending: deque = deque()
 
-        def dispatch(group, n_real):
+        def dispatch(key, group, n_real):
             stack = jnp.asarray(np.stack([g[1] for g in group]))
             sizes = jnp.asarray(
                 np.array([g[2] for g in group], np.int32))
-            if device_render:
+            if key[0] == "raw":
+                osizes = jnp.asarray(
+                    np.array([g[3] for g in group], np.int32))
+                out = self._fwd_render_raw(
+                    self.variables, stack, osizes, sizes, bucket=key[2])
+                pending.append(("render", group, n_real, out))
+            elif device_render:
                 osizes = jnp.asarray(
                     np.array([g[3] for g in group], np.int32))
                 out = self._fwd_render(
                     self.variables, stack, sizes, osizes)  # async dispatch
+                pending.append(("render", group, n_real, out))
             else:
                 out = self._fwd(self.variables, stack, sizes)
-            pending.append((group, n_real, out))
+                pending.append(("host", group, n_real, out))
 
         def drain():
-            group, n_real, out = pending.popleft()
-            if device_render:
+            kind, group, n_real, out = pending.popleft()
+            if kind == "render":
                 yield from self._drain_rendered(group, n_real, out)
                 return
             for i in range(n_real):
@@ -303,21 +360,31 @@ class DefaultPredictor:
                 yield meta, self._post(det_np, sem_np, tuple(hw), ohow)
 
         for meta, image in examples:
-            padded, hw, ohow = self._prepare(image)
-            buf = buffers[padded.shape[:2]]
-            buf.append((meta, padded, hw, ohow))
+            prepared = None
+            if device_render and device_resize:
+                prepared = self._prepare_raw(image)
+            if prepared is not None:
+                padded, hw, ohow, bucket = prepared
+                key = ("raw", padded.shape[:2], bucket)
+                entry = (meta, padded, hw, ohow)
+            else:
+                padded, hw, ohow = self._prepare(image)
+                key = ("host", padded.shape[:2])
+                entry = (meta, padded, hw, ohow)
+            buf = buffers[key]
+            buf.append(entry)
             if len(buf) == batch_size:
-                dispatch(buf, batch_size)
-                buffers[padded.shape[:2]] = []
+                dispatch(key, buf, batch_size)
+                buffers[key] = []
                 while len(pending) > 1:
                     yield from drain()
-        for bucket, buf in buffers.items():
+        for key, buf in buffers.items():
             if not buf:
                 continue
             n_real = len(buf)
             while len(buf) < batch_size:
                 buf.append(buf[-1])
-            dispatch(buf, n_real)
+            dispatch(key, buf, n_real)
         while pending:
             yield from drain()
 
@@ -441,7 +508,8 @@ def run_panoptic_evaluation(cfg: Config, eval_mode: str = "auto") -> dict:
             # batched + one-batch-in-flight pipelined device path
             stream = predictor.run_batched(
                 examples(), batch_size=cfg.test.ims_per_batch,
-                device_render=cfg.test.device_render)
+                device_render=cfg.test.device_render,
+                device_resize=cfg.test.device_resize)
         else:  # per-image path (kept for stub predictors / tests)
             stream = ((inp, predictor(img)) for inp, img in examples())
 
