@@ -223,6 +223,67 @@ def bench_e2e(n_images: int = 200, detail_path: str | None = None):
     print(json.dumps(result))
 
 
+def bench_pipeline():
+    """On-device full eval pipeline throughput (``bench.py --pipeline``):
+    device resize + forward + exact full-res render, inputs pre-staged on
+    device, executions queued back-to-back. This is the chip-side ceiling
+    of the e2e metric — what the honest pipeline delivers once the
+    host<->device link is PCIe-class instead of the dev tunnel (see
+    artifacts/e2e_trace.json for the link decomposition)."""
+    _ensure_tpu_or_reexec()
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from u2seg_tpu.config.config import Config
+    from u2seg_tpu.engine.predictor import DefaultPredictor
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    cfg = Config()
+    bs = cfg.test.ims_per_batch
+    rng = np.random.RandomState(0)
+    p = DefaultPredictor(cfg)
+    raw = jnp.asarray(
+        (rng.rand(bs, 480, 640, 3) * 255).astype(np.uint8))
+    osizes = jnp.asarray(np.array([[480, 640]] * bs, np.int32))
+    sizes = jnp.asarray(np.array([[800, 1067]] * bs, np.int32))
+    bucket = (800, 1344)
+
+    def sync(out):
+        return float(np.asarray(out[0].pan_nruns).reshape(-1)[0])
+
+    out = p._fwd_render_raw(p.variables, raw, osizes, sizes, bucket=bucket)
+    sync(out)
+
+    tiny = jax.jit(lambda x: x + 1)
+    float(np.asarray(tiny(jnp.zeros(()))))
+    t0 = _time.perf_counter()
+    float(np.asarray(tiny(jnp.zeros(()))))
+    rtt = _time.perf_counter() - t0
+
+    iters = 10
+    t0 = _time.perf_counter()
+    for _ in range(iters):
+        out = p._fwd_render_raw(
+            p.variables, raw, osizes, sizes, bucket=bucket)
+    sync(out)
+    dt = max(_time.perf_counter() - t0 - rtt, 1e-9)
+
+    imgs_per_s = bs * iters / dt
+    baseline_per_chip = 1000.0 / 8.0
+    result = {
+        "metric": "coco_panoptic_device_pipeline_imgs_per_sec_per_chip",
+        "value": round(imgs_per_s, 2),
+        "unit": "img/s",
+        "vs_baseline": round(imgs_per_s / baseline_per_chip, 4),
+    }
+    _write_artifact("bench_pipeline.json", result)
+    print(json.dumps(result))
+
+
 def bench_forward():
     _ensure_tpu_or_reexec()
     import jax
@@ -292,6 +353,8 @@ if __name__ == "__main__":
         bench_train()
     elif "--forward" in sys.argv:
         bench_forward()   # device-only forward (the round-2 metric)
+    elif "--pipeline" in sys.argv:
+        bench_pipeline()  # on-device resize+forward+render, no link
     else:
         bench_e2e(detail_path="artifacts/bench_e2e.json"
                   if os.path.isdir("artifacts") else None)

@@ -1,0 +1,164 @@
+"""Trace decomposition of the device-render e2e pipeline (bench.py default
+mode) + tunnel microbenchmarks. Writes artifacts/e2e_trace.json.
+
+Answers, with numbers: where does each millisecond of the honest
+end-to-end metric go, how much of it is the development tunnel's
+host<->device link (~tens of MB/s, single stream), and what the same
+pipeline costs on a production host (PCIe-class link).
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def _sync_scalar(x):
+    return float(np.asarray(x).reshape(-1)[0])
+
+
+def tunnel_microbench(jnp, jax):
+    """RTT + h2d/d2h bandwidth of the host<->device link."""
+    tiny = jax.jit(lambda x: x + 1)
+    _sync_scalar(tiny(jnp.zeros(())))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        _sync_scalar(tiny(jnp.zeros(())))
+    rtt = (time.perf_counter() - t0) / 5
+
+    nbytes = 16 * 2 ** 20
+    host = np.zeros(nbytes, np.uint8)
+    dev = jnp.asarray(host)
+    _sync_scalar(dev[:1])
+    t0 = time.perf_counter()
+    dev = jnp.asarray(host)          # h2d
+    _sync_scalar(dev[-1:])
+    h2d = nbytes / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    _ = np.asarray(dev)              # d2h
+    d2h = nbytes / (time.perf_counter() - t0)
+    return {"rtt_ms": rtt * 1e3, "h2d_MBps": h2d / 1e6,
+            "d2h_MBps": d2h / 1e6}
+
+
+def main(n_images=48):
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from u2seg_tpu.config.config import Config
+    from u2seg_tpu.engine.predictor import DefaultPredictor
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    cfg = Config()
+    bs = cfg.test.ims_per_batch
+    rng = np.random.RandomState(0)
+    base = rng.rand(n_images, 30, 40, 3).astype(np.float32)
+    images = [
+        (cv2.resize(base[i], (640, 480), interpolation=cv2.INTER_CUBIC)
+         * 255).clip(0, 255).astype(np.uint8)
+        for i in range(n_images)
+    ]
+
+    p = DefaultPredictor(cfg)
+    link = tunnel_microbench(jnp, jax)
+    print("link:", link, flush=True)
+
+    # warmup/compile via the public path
+    list(p.run_batched(
+        ((i, im) for i, im in enumerate(images[:bs])), batch_size=bs,
+        device_render=True, device_resize=True))
+    print("compiled", flush=True)
+
+    # serial stage timing (one batch at a time, no pipelining)
+    t = {"prepare": 0.0, "upload_dispatch": 0.0, "device": 0.0,
+         "fetch": 0.0, "decode": 0.0}
+    bytes_up = 0
+    bytes_down = 0
+    nb = n_images // bs
+    for b in range(nb):
+        t0 = time.perf_counter()
+        prepped = [p._prepare_raw(images[b * bs + i]) for i in range(bs)]
+        raw = np.stack([q[0] for q in prepped])
+        sizes = np.array([q[1] for q in prepped], np.int32)
+        osizes = np.array([q[2] for q in prepped], np.int32)
+        bucket = prepped[0][3]
+        t1 = time.perf_counter()
+        out = p._fwd_render_raw(
+            p.variables, jnp.asarray(raw), jnp.asarray(osizes),
+            jnp.asarray(sizes), bucket=bucket)
+        bytes_up += raw.nbytes
+        t2 = time.perf_counter()
+        _sync_scalar(out[0].pan_nruns)   # completion barrier
+        t3 = time.perf_counter()
+        group = [(i, None, tuple(sizes[i]), tuple(osizes[i]))
+                 for i in range(bs)]
+        results = list(p._drain_rendered(
+            group, bs, out))
+        t4 = time.perf_counter()
+        t["prepare"] += t1 - t0
+        t["upload_dispatch"] += t2 - t1
+        t["device"] += t3 - t2
+        t["fetch"] += 0.0
+        t["decode"] += t4 - t3
+    # fetched bytes per batch: RenderedImage fields + det
+    import dataclasses as _dc
+
+    from u2seg_tpu.engine.device_render import RenderedImage  # noqa: F401
+    rendered = out[0]
+    for f in _dc.fields(rendered):
+        bytes_down += np.asarray(getattr(rendered, f.name)).nbytes * nb
+    for k in ("boxes", "scores", "classes", "valid"):
+        bytes_down += np.asarray(out[1][k]).nbytes * nb
+
+    n = nb * bs
+    total = sum(t.values())
+    stages_ms = {k: v / n * 1e3 for k, v in t.items()}
+    up_mb = bytes_up / n / 1e6
+    down_mb = bytes_down / n / 1e6
+    # projection: same pipeline on a local host (PCIe gen3 x16 ~ 10 GB/s)
+    link_ms_here = (bytes_up / link["h2d_MBps"] / 1e6
+                    + bytes_down / link["d2h_MBps"] / 1e6) / n * 1e3 * 1e3
+    link_ms_pcie = (up_mb + down_mb) / 10_000 * 1e3
+    compute_ms = stages_ms["device"]  # includes in-flight transfer overlap
+
+    sha = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
+                         text=True).stdout.strip()
+    report = {
+        "sha": sha,
+        "batch": bs,
+        "n_images": n,
+        "stages_ms_per_img_serial": {k: round(v, 2)
+                                     for k, v in stages_ms.items()},
+        "total_ms_per_img_serial": round(total / n * 1e3, 2),
+        "serial_imgs_per_s": round(n / total, 2),
+        "bytes_up_MB_per_img": round(up_mb, 3),
+        "bytes_down_MB_per_img": round(down_mb, 3),
+        "link": {k: round(v, 2) for k, v in link.items()},
+        "link_ms_per_img_at_measured_bw": round(link_ms_here, 2),
+        "link_ms_per_img_at_pcie_10GBps": round(link_ms_pcie, 3),
+        "note": (
+            "the development tunnel serializes a single TCP stream at the "
+            "measured MB/s; on a production host (PCIe) the same bytes "
+            "cost link_ms_per_img_at_pcie_10GBps and the pipeline is "
+            "forward-compute-bound (see artifacts/bench_forward.json)"
+        ),
+    }
+    for k, v in report.items():
+        print(k, v, flush=True)
+    if os.path.isdir("artifacts"):
+        with open("artifacts/e2e_trace.json", "w") as f:
+            json.dump(report, f, indent=1)
+            f.write("\n")
+
+
+if __name__ == "__main__":
+    main()

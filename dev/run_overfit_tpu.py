@@ -2,9 +2,14 @@
 loss curve to artifacts/overfit_tpu.json.
 
 Same assertions as tests/engine/test_overfit.py (which is CPU-bound and
-env-gated because it costs ~30 CPU-minutes): 20 SPMD train steps on one
-fixed synthetic batch must cut the total loss by >20% and drive the RPN
-objectness loss below 0.5. On the chip this takes ~2 minutes.
+env-gated because it costs ~30 CPU-minutes): SPMD train steps on one fixed
+synthetic batch must cut the total loss by >20% and drive the RPN
+objectness loss below 0.5 (lr 0.08, 150 steps — measured: 0.69 -> ~0.26).
+The total-loss floor is set by the deliberately-unlearnable parts of the
+synthetic batch: random per-pixel sem-seg labels floor loss_sem_seg at
+ln(5)/2 = 0.80 and random GT masks floor loss_mask at ln(2) = 0.69, both
+observed exactly — the learnable components (RPN, cascade cls/reg) drop
+5-10x.
 """
 from __future__ import annotations
 
@@ -30,7 +35,7 @@ def main():
     from u2seg_tpu.solver import build_optimizer
 
     cfg = tiny_spmd_config()
-    cfg.solver.base_lr = 0.02
+    cfg.solver.base_lr = 0.08
     cfg.solver.warmup_iters = 2
     mesh = create_mesh()
     rng = np.random.RandomState(0)
@@ -43,7 +48,8 @@ def main():
     losses, rpn_cls = [], []
     key = jax.random.PRNGKey(7)
     t0 = time.time()
-    for i in range(20):
+    n_steps = int(os.environ.get("U2SEG_OVERFIT_STEPS", "150"))
+    for i in range(n_steps):
         state, metrics = step(state, batch, key)
         losses.append(float(np.asarray(metrics["total_loss"])))
         rpn_cls.append(float(np.asarray(metrics["loss_rpn_cls"])))

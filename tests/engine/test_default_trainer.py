@@ -31,6 +31,7 @@ def fake_loader(rng, n=100):
 
 
 @pytest.mark.slow
+@pytest.mark.xslow  # ~12 min CPU: full DefaultTrainer graph compile
 def test_default_trainer_train_and_resume(tmp_path, rng):
     cfg = tiny_spmd_config()
     cfg.output_dir = str(tmp_path)

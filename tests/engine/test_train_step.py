@@ -16,6 +16,7 @@ from u2seg_tpu.parallel.mesh import create_mesh
 from u2seg_tpu.solver import build_optimizer
 
 
+@pytest.mark.xslow  # ~3 min CPU: full SPMD train-step compile
 def test_train_step_runs_updates_and_replicates(rng):
     assert len(jax.devices()) == 8
     cfg = tiny_spmd_config()

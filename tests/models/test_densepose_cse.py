@@ -210,3 +210,46 @@ def test_nearest_vertex_inference():
     expect = (np.add.outer(np.arange(s), np.arange(s))) % k
     np.testing.assert_array_equal(np.asarray(vids), expect)
     assert bool(np.all(np.asarray(fg)))
+
+
+@pytest.mark.slow
+def test_cse_heads_train_and_inference():
+    """Full CSE ROI-heads path on tiny FPN features: inference shapes and
+    a train step with finite losses for every mesh."""
+    rng = np.random.RandomState(7)
+    cfg = cse.CSEConfig(embed_size=5, meshes=MESHES)
+    heads = cse.DensePoseCseHeads(cfg, head_convs=2, head_dim=16,
+                                  pooler_resolution=8)
+    b, r = 2, 3
+    feats = {f"p{i+2}": jnp.asarray(
+        rng.randn(b, 32 // (2 ** i), 32 // (2 ** i), 8), jnp.float32)
+        for i in range(4)}
+    xy = rng.rand(b, r, 2) * 60
+    wh = rng.rand(b, r, 2) * 40 + 8
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1), jnp.float32)
+
+    v = heads.init(jax.random.PRNGKey(0), feats, boxes)
+    out = heads.apply(v, feats, boxes)
+    s_out = 8 * 4  # pool 8, deconv 2x, bilinear 2x
+    assert out["embedding"].shape == (b, r, s_out, s_out, cfg.embed_size)
+    assert out["coarse_segm"].shape == (b, r, s_out, s_out, 2)
+
+    emb = cse.Embedder(cfg)
+    ev = emb.init(jax.random.PRNGKey(1))
+    mesh_e = [emb.apply(ev, m.name) for m in cfg.meshes]
+    n = b * r
+    pts = cse.CsePoints(
+        x=jnp.asarray(rng.rand(n, 4), jnp.float32),
+        y=jnp.asarray(rng.rand(n, 4), jnp.float32),
+        vertex_ids=jnp.asarray(rng.randint(0, 4, (n, 4)), jnp.int32),
+        mesh_ids=jnp.asarray(rng.randint(0, 2, (n, 4)), jnp.int32),
+        valid=jnp.ones((n, 4), bool),
+    )
+    segm_gt = jnp.asarray(rng.randint(0, 2, (n, s_out, s_out)), jnp.int32)
+    losses = heads.apply(
+        v, feats, boxes, train=True, points=pts, coarse_segm_gt=segm_gt,
+        roi_live=jnp.ones((b, r), bool), mesh_embeddings=mesh_e,
+    )
+    assert set(losses) == {"loss_densepose_S", "loss_densepose_Emini",
+                           "loss_densepose_Eother"}
+    assert all(np.isfinite(float(x)) for x in losses.values())

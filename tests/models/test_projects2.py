@@ -340,3 +340,85 @@ def test_tensormask_train_and_inference_e2e(rng):
     assert out["boxes"].shape == (1, 10, 4)
     assert out["mask_patches"].shape == (1, 10, 14, 14)
     assert np.isfinite(np.asarray(out["mask_patches"])).all()
+
+
+def test_densepose_uv_confidence_losses(rng):
+    """Confidence-aware UV regression (ref chart_with_confidences.py):
+    predictor grows sigma_2 (+kappa) heads; the UV loss becomes the
+    Gaussian NLL — checked against a numpy oracle at grid-corner points."""
+    import math
+
+    from u2seg_tpu.projects.densepose import (
+        DensePoseConfig, DensePosePoints, DensePoseROIHead,
+        densepose_chart_losses,
+    )
+
+    for conf_type in ("iid_iso", "indep_aniso"):
+        cfg = DensePoseConfig(num_stacked_convs=1, conv_head_dim=8,
+                              uv_confidence=conf_type)
+        mod = DensePoseROIHead(cfg)
+        pooled = jnp.array(rng.randn(2, 7, 7, 4).astype(np.float32))
+        vars_ = mod.init(jax.random.PRNGKey(0), pooled)
+        out = mod.apply(vars_, pooled)
+        s = 7 * 2 * cfg.up_scale
+        assert out["sigma_2"].shape == (2, s, s, 25)
+        if conf_type == "indep_aniso":
+            assert out["kappa_u"].shape == (2, s, s, 25)
+
+        # points at exact grid corners -> sampling == lookup
+        gx = np.array([1, 3, 5]); gy = np.array([2, 4, 6])
+        pts = DensePosePoints(
+            coords=jnp.array(np.stack([gx / s, gy / s], -1)[None].repeat(
+                2, 0).astype(np.float32)),
+            fine_labels=jnp.array(
+                rng.randint(1, 25, (2, 3)).astype(np.int32)),
+            u=jnp.array(rng.rand(2, 3).astype(np.float32)),
+            v=jnp.array(rng.rand(2, 3).astype(np.float32)),
+            valid=jnp.ones((2, 3), bool),
+        )
+        coarse_gt = jnp.zeros((2, s, s), jnp.int32)
+        roi_valid = jnp.array([True, True])
+        losses = densepose_chart_losses(out, pts, coarse_gt, roi_valid, cfg)
+        assert "loss_densepose_UV" in losses
+        assert "loss_densepose_U" not in losses
+
+        # numpy oracle
+        ch = np.asarray(pts.fine_labels)
+        total = 0.0
+        eps = cfg.uv_confidence_epsilon
+        for i in range(2):
+            for j in range(3):
+                c = ch[i, j]
+                pix = (gy[j], gx[j])
+                u_est = float(out["u"][i][pix][c])
+                v_est = float(out["v"][i][pix][c])
+                s_est = float(out["sigma_2"][i][pix][c])
+                sigma2 = math.log1p(math.exp(s_est)) + eps
+                du = u_est - float(pts.u[i, j])
+                dv = v_est - float(pts.v[i, j])
+                d2 = du * du + dv * dv
+                if conf_type == "iid_iso":
+                    nll = 0.5 * (math.log(2 * math.pi)
+                                 + 2 * math.log(sigma2) + d2 / sigma2)
+                else:
+                    ku = float(out["kappa_u"][i][pix][c])
+                    kv = float(out["kappa_v"][i][pix][c])
+                    r2 = ku * ku + kv * kv
+                    dr = du * ku + dv * kv
+                    den = sigma2 * (sigma2 + r2)
+                    nll = 0.5 * (math.log(2 * math.pi) + math.log(den)
+                                 + d2 / sigma2 - dr * dr / den)
+                total += nll
+        np.testing.assert_allclose(
+            float(losses["loss_densepose_UV"]), total * cfg.w_points,
+            rtol=2e-4)
+
+        # differentiable through the confidence heads
+        def f(p):
+            o = mod.apply({"params": p}, pooled)
+            return sum(densepose_chart_losses(
+                o, pts, coarse_gt, roi_valid, cfg).values())
+
+        g = jax.grad(f)(vars_["params"])
+        assert all(np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree_util.tree_leaves(g))

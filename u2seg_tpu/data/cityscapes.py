@@ -60,7 +60,22 @@ def load_cityscapes_instances(image_dir: str, gt_dir: str) -> List[dict]:
         h, w = inst.shape
         anns = []
         for iid in np.unique(inst):
-            if iid < 1000:           # not an instance (stuff / group)
+            if iid < 1000:
+                # stuff, or a GROUP region of a thing class (e.g. a crowd
+                # of cars labeled jointly): group regions are ignore
+                # regions for the official instance protocol
+                if iid in _THING_LABEL_IDS:
+                    gmask = inst == iid
+                    from u2seg_tpu.evaluation import rle as rle_codec
+
+                    anns.append({
+                        "category_id": _THING_LABEL_IDS[int(iid)],
+                        "bbox": [0.0, 0.0, float(w), float(h)],
+                        "area": int(gmask.sum()),
+                        "iscrowd": 1,
+                        "segmentation": rle_codec.encode(
+                            gmask.astype(np.uint8)),
+                    })
                 continue
             label_id = iid // 1000
             if label_id not in _THING_LABEL_IDS:

@@ -1,11 +1,13 @@
 """Cityscapes instance & semantic evaluation.
 
 Counterpart of ``detectron2/evaluation/cityscapes_evaluation.py`` (which
-shells out to cityscapesscripts). cityscapesscripts isn't available here;
-the instance AP follows the cityscapes protocol natively (AP averaged over
-IoU 0.5:0.05:0.95 per class, matching on masks) via our COCOeval core
-restricted to the cityscapes categories, and the semantic evaluator is the
-standard 19-class confusion-matrix mIoU.
+shells out to cityscapesscripts). cityscapesscripts isn't installable
+here; mask predictions are scored with the OFFICIAL protocol re-derived in
+``evaluation/cityscapes_instance_ap.py`` (confidence-weighted duplicate
+matching, group/undersized-GT ignore regions, hard false negatives,
+centered-step AP integration). Box-only predictions fall back to the
+COCOeval core. The semantic evaluator is the standard 19-class
+confusion-matrix mIoU.
 """
 from __future__ import annotations
 
@@ -27,11 +29,11 @@ logger = logging.getLogger(__name__)
 
 
 class CityscapesInstanceEvaluator(DatasetEvaluator):
-    """Mask AP over the 8 cityscapes thing classes (COCO-protocol core on
-    cityscapes data — the official scripts' AP definition coincides with
-    COCO's 10-threshold mask AP up to their ignore handling)."""
+    """Mask AP over the 8 cityscapes thing classes: official protocol on
+    masks (cityscapes_instance_ap.py), COCOeval core on boxes."""
 
     def __init__(self, dataset_dicts: List[dict]):
+        self._dicts = {d["image_id"]: d for d in dataset_dicts}
         # build a COCO-format GT index from the loaded dicts
         images, anns = [], []
         aid = 1
@@ -80,15 +82,51 @@ class CityscapesInstanceEvaluator(DatasetEvaluator):
     def evaluate(self) -> Optional[dict]:
         if not self._predictions:
             return {}
-        task = "segm" if "segmentation" in self._predictions[0] else "bbox"
+        if "segmentation" in self._predictions[0]:
+            return self._evaluate_official()
         dt = self._gt.loadRes(list(self._predictions))
-        E = COCOeval(self._gt, dt, iouType=task)
+        E = COCOeval(self._gt, dt, iouType="bbox")
         E.evaluate()
         E.accumulate()
         stats = E.summarize()
         return OrderedDict(
             cityscapes_instance={"AP": stats[0] * 100, "AP50": stats[1] * 100}
         )
+
+    def _evaluate_official(self) -> dict:
+        """Official-protocol mask AP (ref cityscapes_evaluation.py:197 ->
+        cityscapesscripts evalInstanceLevelSemanticLabeling)."""
+        from u2seg_tpu.evaluation import rle as rle_codec
+        from u2seg_tpu.evaluation.cityscapes_instance_ap import (
+            evaluate_instance_ap,
+        )
+
+        gt_by_image, pred_by_image = {}, {}
+        for img_id, d in self._dicts.items():
+            gts = []
+            for a in d.get("annotations", []):
+                seg = a.get("segmentation")
+                if seg is None:
+                    continue
+                gts.append({
+                    "mask": rle_codec.decode(seg).astype(bool),
+                    "class": int(a["category_id"]),
+                    "ignore": bool(a.get("iscrowd", 0)),
+                })
+            gt_by_image[img_id] = gts
+        for rec in self._predictions:
+            pred_by_image.setdefault(rec["image_id"], []).append({
+                "mask": rle_codec.decode(rec["segmentation"]).astype(bool),
+                "class": int(rec["category_id"]),
+                "score": float(rec["score"]),
+            })
+        res = evaluate_instance_ap(
+            gt_by_image, pred_by_image,
+            num_classes=len(CITYSCAPES_THING_CLASSES),
+        )
+        return OrderedDict(cityscapes_instance={
+            "AP": res["AP"] * 100, "AP50": res["AP50"] * 100,
+        })
 
 
 class CityscapesSemSegEvaluator(SemSegEvaluator):

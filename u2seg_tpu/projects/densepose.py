@@ -34,6 +34,7 @@ resample_data with align_corners=True).
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -56,6 +57,12 @@ class DensePoseConfig:
     w_points: float = 0.1
     w_part: float = 1.0
     w_segm: float = 2.0
+    # confidence-aware UV regression (ref losses/chart_with_confidences.py,
+    # predictors/chart_confidence.py; UV_CONFIDENCE.{ENABLED,TYPE,EPSILON}):
+    # "" = plain smooth-L1; "iid_iso" adds a sigma_2 head; "indep_aniso"
+    # adds sigma_2 + kappa_u + kappa_v heads
+    uv_confidence: str = ""
+    uv_confidence_epsilon: float = 0.01
 
 
 class DensePoseV1ConvXHead(nn.Module):
@@ -101,7 +108,7 @@ class DensePoseChartPredictor(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         c = self.cfg
-        return {
+        out = {
             "coarse_segm": self._deconv(x, c.num_coarse_segm_channels,
                                         "ann_index_lowres"),
             "fine_segm": self._deconv(x, c.num_patches + 1,
@@ -109,6 +116,16 @@ class DensePoseChartPredictor(nn.Module):
             "u": self._deconv(x, c.num_patches + 1, "u_lowres"),
             "v": self._deconv(x, c.num_patches + 1, "v_lowres"),
         }
+        # confidence heads (ref predictors/chart_confidence.py:59-117)
+        if c.uv_confidence:
+            out["sigma_2"] = self._deconv(
+                x, c.num_patches + 1, "sigma_2_lowres")
+            if c.uv_confidence == "indep_aniso":
+                out["kappa_u"] = self._deconv(
+                    x, c.num_patches + 1, "kappa_u_lowres")
+                out["kappa_v"] = self._deconv(
+                    x, c.num_patches + 1, "kappa_v_lowres")
+        return out
 
 
 @jax.tree_util.register_dataclass
@@ -245,8 +262,39 @@ def densepose_chart_losses(
     ch = jnp.clip(points.fine_labels, 0, cfg.num_patches)
     u_est = jnp.take_along_axis(u_at, ch[..., None], axis=-1)[..., 0]
     v_est = jnp.take_along_axis(v_at, ch[..., None], axis=-1)[..., 0]
-    loss_u = jnp.sum(_smooth_l1(u_est - points.u) * reg_live) * cfg.w_points
-    loss_v = jnp.sum(_smooth_l1(v_est - points.v) * reg_live) * cfg.w_points
+    uv_losses: Dict[str, jnp.ndarray] = {}
+    if cfg.uv_confidence:
+        # Gaussian NLL UV regression (ref chart_with_confidences.py:118-209;
+        # Neverova et al., NeurIPS 2019). sigma^2 = softplus(s) + epsilon.
+        s_at = chart_point_sample(outputs["sigma_2"], points.coords)
+        s_est = jnp.take_along_axis(s_at, ch[..., None], axis=-1)[..., 0]
+        sigma2 = jax.nn.softplus(s_est) + cfg.uv_confidence_epsilon
+        du = u_est - points.u
+        dv = v_est - points.v
+        delta2 = du * du + dv * dv
+        log2pi = math.log(2.0 * math.pi)
+        if cfg.uv_confidence == "iid_iso":
+            nll = 0.5 * (log2pi + 2.0 * jnp.log(sigma2) + delta2 / sigma2)
+        elif cfg.uv_confidence == "indep_aniso":
+            ku_at = chart_point_sample(outputs["kappa_u"], points.coords)
+            kv_at = chart_point_sample(outputs["kappa_v"], points.coords)
+            ku = jnp.take_along_axis(ku_at, ch[..., None], axis=-1)[..., 0]
+            kv = jnp.take_along_axis(kv_at, ch[..., None], axis=-1)[..., 0]
+            r2 = ku * ku + kv * kv
+            delta_r = du * ku + dv * kv
+            denom2 = sigma2 * (sigma2 + r2)
+            nll = 0.5 * (log2pi + jnp.log(denom2) + delta2 / sigma2
+                         - (delta_r * delta_r) / denom2)
+        else:
+            raise ValueError(cfg.uv_confidence)
+        uv_losses["loss_densepose_UV"] = (
+            jnp.sum(nll * reg_live) * cfg.w_points
+        )
+    else:
+        uv_losses["loss_densepose_U"] = (
+            jnp.sum(_smooth_l1(u_est - points.u) * reg_live) * cfg.w_points)
+        uv_losses["loss_densepose_V"] = (
+            jnp.sum(_smooth_l1(v_est - points.v) * reg_live) * cfg.w_points)
 
     # fine patch index: mean CE over annotated points
     logp = jax.nn.log_softmax(fine_at, axis=-1)
@@ -261,12 +309,9 @@ def densepose_chart_losses(
     denom = jnp.maximum(jnp.sum(roi_valid) * ce_s.shape[1] * ce_s.shape[2], 1.0)
     loss_s = jnp.sum(ce_s * roi_valid[:, None, None]) / denom * cfg.w_segm
 
-    return {
-        "loss_densepose_U": loss_u,
-        "loss_densepose_V": loss_v,
-        "loss_densepose_I": loss_i,
-        "loss_densepose_S": loss_s,
-    }
+    return dict(uv_losses,
+                loss_densepose_I=loss_i,
+                loss_densepose_S=loss_s)
 
 
 def densepose_chart_inference(

@@ -368,6 +368,74 @@ def densepose_cse_losses(
 
 
 # ---------------------------------------------------------------------------
+# ROI-heads integration (ref densepose/modeling/roi_heads/roi_head.py
+# _forward_densepose with a CSE predictor)
+# ---------------------------------------------------------------------------
+
+class DensePoseCseHeads(nn.Module):
+    """Pool + v1-convX head + embedding predictor over FPN features — the
+    CSE counterpart of ``projects/densepose.DensePoseHeads`` (same pooling
+    geometry: resolution 28 on p2-p5).
+
+    Train: pass fg ROI boxes, per-ROI ``CsePoints`` (proposal-frame
+    coords), per-ROI coarse-segm GT and the precomputed mesh embeddings.
+    Inference: returns {embedding, coarse_segm} maps per ROI.
+    """
+
+    cfg: CSEConfig
+    head_convs: int = 8
+    head_dim: int = 512
+    pooler_resolution: int = 28
+    strides: Tuple[int, ...] = (4, 8, 16, 32)
+    dtype: jnp.dtype = jnp.float32
+
+    def _pool(self, features, boxes):
+        from u2seg_tpu.ops.roi_align import multilevel_roi_align
+
+        b, r, _ = boxes.shape
+        batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
+        feats = [features[f"p{i + 2}"] for i in range(len(self.strides))]
+        return multilevel_roi_align(
+            feats, boxes.reshape(-1, 4), batch_idx, self.pooler_resolution,
+            self.strides,
+        )
+
+    @nn.compact
+    def __call__(
+        self,
+        features: Dict[str, jnp.ndarray],    # FPN maps, NHWC
+        boxes: jnp.ndarray,                  # (B, R, 4) xyxy image coords
+        train: bool = False,
+        points: Optional[CsePoints] = None,          # (B*R, P) flattened
+        coarse_segm_gt: Optional[jnp.ndarray] = None,  # (B*R, S, S)
+        roi_live: Optional[jnp.ndarray] = None,      # (B, R)
+        mesh_embeddings: Optional[Sequence[jnp.ndarray]] = None,
+        rng: Optional[jax.Array] = None,
+    ):
+        from u2seg_tpu.projects.densepose import (
+            DensePoseConfig, DensePoseV1ConvXHead,
+        )
+
+        head_cfg = DensePoseConfig(
+            num_stacked_convs=self.head_convs, conv_head_dim=self.head_dim,
+        )
+        pooled = self._pool(features, boxes).astype(self.dtype)
+        x = DensePoseV1ConvXHead(head_cfg, self.dtype, name="head")(pooled)
+        outputs = DensePoseEmbeddingPredictor(
+            self.cfg, self.dtype, name="predictor")(x)
+        if not train:
+            b, r, _ = boxes.shape
+            return {k: v.reshape(b, r, *v.shape[1:])
+                    for k, v in outputs.items()}
+        assert points is not None and coarse_segm_gt is not None
+        assert roi_live is not None and mesh_embeddings is not None
+        return densepose_cse_losses(
+            outputs, points, coarse_segm_gt, roi_live.reshape(-1),
+            mesh_embeddings, self.cfg, rng=rng,
+        )
+
+
+# ---------------------------------------------------------------------------
 # Inference (ref converters/chart_output_* analog for CSE +
 # structures/cse.py DensePoseEmbeddingPredictorOutput)
 # ---------------------------------------------------------------------------
