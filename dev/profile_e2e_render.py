@@ -125,8 +125,9 @@ def main(n_images=48):
     up_mb = bytes_up / n / 1e6
     down_mb = bytes_down / n / 1e6
     # projection: same pipeline on a local host (PCIe gen3 x16 ~ 10 GB/s)
-    link_ms_here = (bytes_up / link["h2d_MBps"] / 1e6
-                    + bytes_down / link["d2h_MBps"] / 1e6) / n * 1e3 * 1e3
+    # MB per image / (MB/s) -> seconds -> ms
+    link_ms_here = (up_mb / link["h2d_MBps"]
+                    + down_mb / link["d2h_MBps"]) * 1e3
     link_ms_pcie = (up_mb + down_mb) / 10_000 * 1e3
     compute_ms = stages_ms["device"]  # includes in-flight transfer overlap
 
@@ -136,6 +137,8 @@ def main(n_images=48):
         "sha": sha,
         "batch": bs,
         "n_images": n,
+        # "device" = sync barrier after async dispatch: upload + compute
+        # + result serialization; "decode" includes the RLE fetch
         "stages_ms_per_img_serial": {k: round(v, 2)
                                      for k, v in stages_ms.items()},
         "total_ms_per_img_serial": round(total / n * 1e3, 2),
