@@ -322,12 +322,30 @@ class DefaultPredictor:
         identical per-image results to ``__call__``. Partial tail groups
         are padded by repeating the last image so each bucket compiles
         exactly once per batch size.
+
+        The d2h fetch and the host-side decode of each in-flight batch run
+        on worker threads (device_get + numpy decode both release the GIL
+        for their hot parts), so the main thread's prepare->upload->dispatch
+        loop never stalls behind them; with DEPTH batches in flight the
+        steady state is bounded by max(link, device) rather than their sum.
         """
         import jax.numpy as jnp
         from collections import defaultdict, deque
+        from concurrent.futures import ThreadPoolExecutor
 
+        DEPTH = 3  # batches in flight (device queue + one being decoded)
         buffers: Dict[tuple, list] = defaultdict(list)
         pending: deque = deque()
+        pool = ThreadPoolExecutor(max_workers=2)
+
+        def fetch_host(group, n_real, out):
+            results = []
+            for i in range(n_real):
+                meta, _, hw, ohow = group[i]
+                det_np, sem_np = self._fetch_image(out, i)
+                results.append(
+                    (meta, self._post(det_np, sem_np, tuple(hw), ohow)))
+            return results
 
         def dispatch(key, group, n_real):
             stack = jnp.asarray(np.stack([g[1] for g in group]))
@@ -338,55 +356,51 @@ class DefaultPredictor:
                     np.array([g[3] for g in group], np.int32))
                 out = self._fwd_render_raw(
                     self.variables, stack, osizes, sizes, bucket=key[2])
-                pending.append(("render", group, n_real, out))
+                fut = pool.submit(
+                    lambda: list(self._drain_rendered(group, n_real, out)))
             elif device_render:
                 osizes = jnp.asarray(
                     np.array([g[3] for g in group], np.int32))
                 out = self._fwd_render(
                     self.variables, stack, sizes, osizes)  # async dispatch
-                pending.append(("render", group, n_real, out))
+                fut = pool.submit(
+                    lambda: list(self._drain_rendered(group, n_real, out)))
             else:
                 out = self._fwd(self.variables, stack, sizes)
-                pending.append(("host", group, n_real, out))
+                fut = pool.submit(fetch_host, group, n_real, out)
+            pending.append(fut)
 
-        def drain():
-            kind, group, n_real, out = pending.popleft()
-            if kind == "render":
-                yield from self._drain_rendered(group, n_real, out)
-                return
-            for i in range(n_real):
-                meta, _, hw, ohow = group[i]
-                det_np, sem_np = self._fetch_image(out, i)
-                yield meta, self._post(det_np, sem_np, tuple(hw), ohow)
-
-        for meta, image in examples:
-            prepared = None
-            if device_render and device_resize:
-                prepared = self._prepare_raw(image)
-            if prepared is not None:
-                padded, hw, ohow, bucket = prepared
-                key = ("raw", padded.shape[:2], bucket)
-                entry = (meta, padded, hw, ohow)
-            else:
-                padded, hw, ohow = self._prepare(image)
-                key = ("host", padded.shape[:2])
-                entry = (meta, padded, hw, ohow)
-            buf = buffers[key]
-            buf.append(entry)
-            if len(buf) == batch_size:
-                dispatch(key, buf, batch_size)
-                buffers[key] = []
-                while len(pending) > 1:
-                    yield from drain()
-        for key, buf in buffers.items():
-            if not buf:
-                continue
-            n_real = len(buf)
-            while len(buf) < batch_size:
-                buf.append(buf[-1])
-            dispatch(key, buf, n_real)
-        while pending:
-            yield from drain()
+        try:
+            for meta, image in examples:
+                prepared = None
+                if device_render and device_resize:
+                    prepared = self._prepare_raw(image)
+                if prepared is not None:
+                    padded, hw, ohow, bucket = prepared
+                    key = ("raw", padded.shape[:2], bucket)
+                    entry = (meta, padded, hw, ohow)
+                else:
+                    padded, hw, ohow = self._prepare(image)
+                    key = ("host", padded.shape[:2])
+                    entry = (meta, padded, hw, ohow)
+                buf = buffers[key]
+                buf.append(entry)
+                if len(buf) == batch_size:
+                    dispatch(key, buf, batch_size)
+                    buffers[key] = []
+                    while len(pending) > DEPTH - 1:
+                        yield from pending.popleft().result()
+            for key, buf in buffers.items():
+                if not buf:
+                    continue
+                n_real = len(buf)
+                while len(buf) < batch_size:
+                    buf.append(buf[-1])
+                dispatch(key, buf, n_real)
+            while pending:
+                yield from pending.popleft().result()
+        finally:
+            pool.shutdown(wait=False)
 
 
 def build_u2seg_evaluators(cfg: Config, meta, eval_mode: str,
