@@ -208,3 +208,43 @@ class TestDeviceResize:
         np.testing.assert_allclose(out[:ih, :iw], ref, rtol=1e-4, atol=1e-3)
         # padding region zeroed
         assert np.all(out[ih:] == 0) and np.all(out[:, iw:] == 0)
+
+
+class TestPackedRender:
+    def test_pack_roundtrip(self):
+        """pack_rendered_batch + host prefix decode == per-image decode."""
+        rng = np.random.RandomState(7)
+        bsz, max_runs, n = 3, 64, 200
+        flats = [
+            np.pad(np.repeat(rng.randint(0, 5, 40), rng.randint(1, 11, 40)),
+                   (0, n), mode="edge")[:n]
+            for _ in range(2 * bsz)
+        ]
+        enc = [dr.rle_encode(jnp.asarray(f), max_runs) for f in flats]
+        kf, c = 4, 5
+        r = dr.RenderedImage(
+            pan_starts=jnp.stack([enc[2 * b][0] for b in range(bsz)]),
+            pan_values=jnp.stack([enc[2 * b][1] for b in range(bsz)]),
+            pan_nruns=jnp.stack([enc[2 * b][2] for b in range(bsz)]),
+            sem_starts=jnp.stack([enc[2 * b + 1][0] for b in range(bsz)]),
+            sem_values=jnp.stack([enc[2 * b + 1][1] for b in range(bsz)]),
+            sem_nruns=jnp.stack([enc[2 * b + 1][2] for b in range(bsz)]),
+            takes=jnp.zeros((bsz, kf), bool),
+            order=jnp.zeros((bsz, kf), jnp.int32),
+            sorted_scores=jnp.zeros((bsz, kf)),
+            sorted_classes=jnp.zeros((bsz, kf), jnp.int32),
+            stuff_ok=jnp.zeros((bsz, c), bool),
+            stuff_area=jnp.zeros((bsz, c), jnp.int32),
+            fallback=jnp.zeros((bsz,), bool),
+        )
+        packed = jax.jit(dr.pack_rendered_batch)(r)
+        offs = np.asarray(packed.offs, np.int64)
+        starts = np.asarray(packed.starts)
+        values = np.asarray(packed.values)
+        assert int(offs[-1]) == sum(int(e[2]) for e in enc)
+        for b in range(bsz):
+            p0, p1, p2 = offs[2 * b], offs[2 * b + 1], offs[2 * b + 2]
+            pan = dr.rle_decode(starts[p0:p1], values[p0:p1], p1 - p0, n)
+            sem = dr.rle_decode(starts[p1:p2], values[p1:p2], p2 - p1, n)
+            np.testing.assert_array_equal(pan, flats[2 * b])
+            np.testing.assert_array_equal(sem, flats[2 * b + 1])
