@@ -253,7 +253,7 @@ def bench_pipeline():
     bucket = (800, 1344)
 
     def sync(out):
-        return float(np.asarray(out[0].pan_nruns).reshape(-1)[0])
+        return float(np.asarray(out[0].offs).reshape(-1)[-1])
 
     out = p._fwd_render_raw(p.variables, raw, osizes, sizes, bucket=bucket)
     sync(out)

@@ -351,6 +351,10 @@ class TestConfig:
     render_canvas: Tuple[int, int] = (640, 640)   # >= any original (oh, ow)
     render_k_fuse: int = 50                       # fusion instance budget
     render_max_runs: int = 16384                  # RLE run budget per map
+    # static per-image share of the eagerly-fetched packed-run prefix
+    # (engine/device_render.PackedRender); batches with more total runs pay
+    # one dynamic-slice fetch instead
+    fetch_runs_per_image: int = 2048
     # upload the RAW uint8 image and resize on device (needs device_render;
     # images that fit no raw bucket fall back to the host-resize path)
     device_resize: bool = True

@@ -349,6 +349,10 @@ class PackedRender:
     offs: jnp.ndarray             # (2B+1,) int32: image b's pan runs live at
                                   # [offs[2b], offs[2b+1]), sem at
                                   # [offs[2b+1], offs[2b+2])
+    starts_prefix: jnp.ndarray    # (P,) static prefix of ``starts`` — fetched
+                                  # unconditionally so the common case costs
+                                  # NO extra device program mid-pipeline
+    values_prefix: jnp.ndarray    # (P,) int16 prefix of ``values``
     takes: jnp.ndarray            # (B, Kf) bool
     order: jnp.ndarray            # (B, Kf) int32
     sorted_scores: jnp.ndarray    # (B, Kf)
@@ -358,8 +362,14 @@ class PackedRender:
     fallback: jnp.ndarray         # (B,) bool
 
 
-def pack_rendered_batch(r: RenderedImage) -> PackedRender:
-    """Compact a batched ``RenderedImage`` (device, inside the jit)."""
+def pack_rendered_batch(r: RenderedImage, prefix: int = 0) -> PackedRender:
+    """Compact a batched ``RenderedImage`` (device, inside the jit).
+
+    ``prefix`` is the static length of the eagerly-fetched run prefix
+    (``starts_prefix``/``values_prefix``); batches whose total run count
+    exceeds it make the host fall back to a (rare) dynamic slice of the
+    full buffers.
+    """
     bsz, max_runs = r.pan_starts.shape
     n_pan = jnp.minimum(r.pan_nruns, max_runs).astype(jnp.int32)
     n_sem = jnp.minimum(r.sem_nruns, max_runs).astype(jnp.int32)
@@ -385,8 +395,10 @@ def pack_rendered_batch(r: RenderedImage) -> PackedRender:
     starts = jnp.zeros((buf,), jnp.int32).at[dd].set(src_s, mode="drop")
     values = jnp.zeros((buf,), jnp.int16).at[dd].set(
         src_v.astype(jnp.int16), mode="drop")
+    p = min(max(int(prefix), 0), buf)
     return PackedRender(
         starts=starts, values=values, offs=offs,
+        starts_prefix=starts[:p], values_prefix=values[:p],
         takes=r.takes, order=r.order, sorted_scores=r.sorted_scores,
         sorted_classes=r.sorted_classes, stuff_ok=r.stuff_ok,
         stuff_area=r.stuff_area, fallback=r.fallback,

@@ -113,6 +113,7 @@ class DefaultPredictor:
                 pack_rendered_batch, render_batch,
             )
             pano = cfg.model.panoptic
+            bsz = size.shape[0]
             rendered = pack_rendered_batch(render_batch(
                 out.detections, out.sem_seg_logits, size, orig_size,
                 canvas=tuple(cfg.test.render_canvas),
@@ -121,7 +122,7 @@ class DefaultPredictor:
                 instance_conf_thresh=pano.instance_conf_thresh,
                 overlap_thresh=pano.overlap_thresh,
                 stuff_area_limit=pano.stuff_area_limit,
-            ))
+            ), prefix=bsz * cfg.test.fetch_runs_per_image)
             det = out.detections
             small_det = {
                 "boxes": det.boxes, "scores": det.scores,
@@ -272,12 +273,15 @@ class DefaultPredictor:
     def _drain_rendered(self, group, n_real, out):
         """Decode one in-flight device-rendered batch.
 
-        Two-step fetch: (1) the small per-image tables + run offsets in one
-        device_get (~4 KB/img), (2) the USED prefix of the batch-compacted
-        RLE buffers (``PackedRender``), sliced on device at a 1024-run
-        bucket granularity so slice programs compile O(log) distinct shapes
-        — typical transfer ~5-50 KB/img instead of the 256 KB/img of the
-        fixed per-image run budgets."""
+        One device_get covers the common case: the small per-image tables,
+        the run offsets, AND a static prefix of the batch-compacted RLE
+        buffers (``PackedRender.starts_prefix``, sized by
+        ``cfg.test.fetch_runs_per_image``) — typically ~5-30 KB/img instead
+        of the 256 KB/img of the fixed per-image run budgets, with no
+        mid-pipeline device program (a dynamic slice dispatched here would
+        queue behind the next in-flight batch and stall the drain). Only a
+        batch whose total run count overflows the prefix pays a dynamic
+        slice, at power-of-two lengths so at most O(log) shapes compile."""
         import jax
 
         from u2seg_tpu.engine.device_render import decode_rendered_image
@@ -289,18 +293,20 @@ class DefaultPredictor:
             "sorted_classes": rendered.sorted_classes,
             "stuff_ok": rendered.stuff_ok, "stuff_area": rendered.stuff_area,
             "fallback": rendered.fallback,
+            "starts": rendered.starts_prefix, "values": rendered.values_prefix,
         }
         rend, det = jax.device_get((small, small_det))
         offs = np.asarray(rend["offs"], np.int64)
         total = int(offs[-1])
-        if total:
+        starts_c, values_c = rend["starts"], rend["values"]
+        if total > len(starts_c):
             cap = rendered.starts.shape[0]
-            cut = min(((total + 1023) // 1024) * 1024, cap)
+            cut = 4096
+            while cut < total:
+                cut *= 2
+            cut = min(cut, cap)
             starts_c, values_c = jax.device_get(
                 (rendered.starts[:cut], rendered.values[:cut]))
-        else:
-            starts_c = np.zeros(0, np.int32)
-            values_c = np.zeros(0, np.int16)
         canvas = tuple(self.cfg.test.render_canvas)
         for i in range(n_real):
             meta, _, hw, ohow = group[i]

@@ -556,6 +556,207 @@ WIN_S_Y = 16
 WIN_S_X = 24
 
 
+def _ml_kernel2(
+    # scalar prefetch (11)
+    oyl_ref, oxl_ref,        # (R,) int32 large-window origins
+    oys_ref, oxs_ref,        # (R,) int32 small-window origins
+    batch_ref, lvl_ref,      # (R,) int32
+    y0_ref, x0_ref, binh_ref, binw_ref,   # (R,) f32 geometry (tier-agnostic)
+    nsm_ref,                 # (1,) int32 count of small-tier ROIs
+    *refs,                   # L feature refs, out, large scratch, small
+                             # scratch, large sems, small sems
+    s: int,
+    r: int,
+    num_levels: int,
+    level_dims: tuple,
+    g: int,
+):
+    """Two-tier pooler in ONE pallas_call (v2 of _ml_kernel's tier split).
+
+    ROIs arrive stably partitioned small-first. Groups entirely inside the
+    small prefix DMA a WIN_S window per ROI (3.3x fewer bytes); the
+    boundary group and every later group use the full window. One sweep,
+    one output buffer — unlike the two-call split this never zero-fills or
+    merges, and the partition is a cumsum instead of an argsort. Values
+    are identical to the single-tier kernel (window size only adds zero
+    weights).
+    """
+    out_ref = refs[num_levels]
+    winl_ref = refs[num_levels + 1]      # (2, g, WIN_Y, WIN, C)
+    wins_ref = refs[num_levels + 2]      # (2, g, WIN_S_Y, WIN_S_X, C)
+    seml = refs[num_levels + 3]          # (2, g)
+    sems = refs[num_levels + 4]          # (2, g)
+
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    def small(grp):
+        return (grp + 1) * g <= nsm_ref[0]
+
+    def launch_group(grp, slot):
+        for tier_small in (False, True):
+            cond = small(grp) if tier_small else jnp.logical_not(small(grp))
+
+            @pl.when(cond)
+            def _(tier_small=tier_small):
+                oy_ref = oys_ref if tier_small else oyl_ref
+                ox_ref = oxs_ref if tier_small else oxl_ref
+                wy = WIN_S_Y if tier_small else WIN_Y
+                wx = WIN_S_X if tier_small else WIN
+                win_ref = wins_ref if tier_small else winl_ref
+                sem = sems if tier_small else seml
+                for j in range(g):
+                    roi = grp * g + j
+                    oy = oy_ref[roi]
+                    ox = pl.multiple_of(ox_ref[roi], 8)
+                    b = batch_ref[roi]
+                    lvl = lvl_ref[roi]
+                    for k in range(num_levels):
+                        @pl.when(lvl == k)
+                        def _(k=k, j=j, b=b, oy=oy, ox=ox):
+                            pltpu.make_async_copy(
+                                refs[k].at[b, pl.ds(oy, wy), pl.ds(ox, wx), :],
+                                win_ref.at[slot, j],
+                                sem.at[slot, j],
+                            ).start()
+
+    parity = step % 2 == 0
+
+    @pl.when(step == 0)
+    def _():
+        launch_group(0, 0)
+
+    @pl.when((step + 1 < nsteps) & parity)
+    def _():
+        launch_group(step + 1, 1)
+
+    @pl.when((step + 1 < nsteps) & jnp.logical_not(parity))
+    def _():
+        launch_group(step + 1, 0)
+
+    n = s * r
+    idx_i = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    offs = (idx_i // r).astype(jnp.float32)
+    sub = ((idx_i % r).astype(jnp.float32) + 0.5) / r
+    rel = (offs + sub)[:, 0]
+
+    def axis_weights_pooled(coords, size, origin, win):
+        inside = (coords >= -1.0) & (coords <= size)
+        cc = jnp.clip(coords, 0.0, size - 1.0)
+        local = jnp.clip(cc - origin.astype(jnp.float32), 0.0, win - 1.0)
+        cells = jax.lax.broadcasted_iota(jnp.int32, (n, win), 1).astype(
+            jnp.float32
+        )
+        wgt = jnp.maximum(0.0, 1.0 - jnp.abs(local[:, None] - cells))
+        wgt = wgt * inside[:, None]
+        return wgt.reshape(s, r, win).sum(axis=1) * (1.0 / r)
+
+    def compute_group(slot, tier_small):
+        oy_ref = oys_ref if tier_small else oyl_ref
+        ox_ref = oxs_ref if tier_small else oxl_ref
+        wy = WIN_S_Y if tier_small else WIN_Y
+        wx = WIN_S_X if tier_small else WIN
+        win_ref = wins_ref if tier_small else winl_ref
+        sem = sems if tier_small else seml
+        wys, wxs = [], []
+        for j in range(g):
+            roi = step * g + j
+            lvl = lvl_ref[roi]
+            h = jnp.float32(level_dims[0][0])
+            w = jnp.float32(level_dims[0][1])
+            for k in range(1, num_levels):
+                h = jnp.where(lvl == k, jnp.float32(level_dims[k][0]), h)
+                w = jnp.where(lvl == k, jnp.float32(level_dims[k][1]), w)
+            ys = y0_ref[roi] + rel * binh_ref[roi]
+            xs = x0_ref[roi] + rel * binw_ref[roi]
+            wys.append(axis_weights_pooled(ys, h, oy_ref[roi], wy))
+            wxs.append(axis_weights_pooled(
+                xs, w, pl.multiple_of(ox_ref[roi], 8), wx))
+
+        def block_diag(cat, win):
+            row_blk = jax.lax.broadcasted_iota(
+                jnp.int32, (g * s, g * win), 0) // s
+            col_blk = jax.lax.broadcasted_iota(
+                jnp.int32, (g * s, g * win), 1) // win
+            on_diag = (row_blk == col_blk).astype(jnp.float32)
+            return jnp.concatenate([cat] * g, axis=1) * on_diag
+
+        wy_blk = block_diag(jnp.concatenate(wys, axis=0), wy)
+        wx_blk = block_diag(jnp.concatenate(wxs, axis=0), wx)
+
+        for j in range(g):
+            pltpu.make_async_copy(
+                refs[0].at[0, pl.ds(0, wy), pl.ds(0, wx), :],
+                win_ref.at[slot, j],
+                sem.at[slot, j],
+            ).wait()
+        window = win_ref[slot]                           # (g, wy, wx, C)
+        c = window.shape[-1]
+        tmp = jax.lax.dot_general(
+            wy_blk.astype(window.dtype), window.reshape(g * wy, wx * c),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (g*s, wx*C)
+        tmp = tmp.reshape(g, s, wx, c).transpose(0, 2, 1, 3)
+        out = jax.lax.dot_general(
+            wx_blk, tmp.reshape(g * wx, s * c),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (g*s, s*C)
+        out = out.reshape(g, s, s, c).transpose(0, 2, 1, 3)
+        out_ref[:] = out.astype(out_ref.dtype)
+
+    for tier_small in (False, True):
+        cond = small(step) if tier_small else jnp.logical_not(small(step))
+
+        @pl.when(parity & cond)
+        def _(tier_small=tier_small):
+            compute_group(0, tier_small)
+
+        @pl.when(jnp.logical_not(parity) & cond)
+        def _(tier_small=tier_small):
+            compute_group(1, tier_small)
+
+
+def _ml_call2(padded, dims, arrays_l, arrays_s, n_small, output_size, r,
+              gsz, r_pad, out_dtype):
+    """One pallas_call over size-partitioned ROIs, both window tiers."""
+    s = output_size
+    num_levels = len(padded)
+    c = padded[0].shape[-1]
+    oy_l, ox_l, b_p, lvl_p, y0_p, x0_p, binh_p, binw_p = arrays_l
+    oy_s, ox_s = arrays_s[0], arrays_s[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=11,
+        grid=(r_pad // gsz,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * num_levels,
+        out_specs=pl.BlockSpec(
+            (gsz, s, s, c), lambda i, *_: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, gsz, WIN_Y, WIN, c), padded[0].dtype),
+            pltpu.VMEM((2, gsz, WIN_S_Y, WIN_S_X, c), padded[0].dtype),
+            pltpu.SemaphoreType.DMA((2, gsz)),
+            pltpu.SemaphoreType.DMA((2, gsz)),
+        ],
+    )
+    kernel = functools.partial(
+        _ml_kernel2, s=s, r=r, num_levels=num_levels,
+        level_dims=tuple((int(d[0]), int(d[1])) for d in dims), g=gsz,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (r_pad, s, s, c), jnp.dtype(out_dtype or jnp.float32)),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(oy_l, ox_l, oy_s, ox_s, b_p, lvl_p, y0_p, x0_p, binh_p, binw_p,
+      n_small, *padded)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("output_size", "strides", "sampling_ratio",
@@ -588,13 +789,18 @@ def _ml_pallas_ext(
                     canonical_box_size, canonical_level)
 
     if two_tier:
-        # size-sort (stable, so score order is preserved within each tier)
+        # stable small-first partition via cumsum ranks (no argsort): ROI i
+        # lands at sorted position pos[i]; order = the inverse permutation
         is_small = (
             (prep["bin_h"] * s <= WIN_S_Y - 4)
             & (prep["bin_w"] * s <= WIN_S_X - 11)
         )
-        order = jnp.argsort((~is_small).astype(jnp.int32), stable=True)
-        n_small = jnp.sum(is_small).astype(jnp.int32)
+        rank_s = jnp.cumsum(is_small.astype(jnp.int32))
+        rank_l = jnp.cumsum((~is_small).astype(jnp.int32))
+        n_small = rank_s[-1]
+        pos = jnp.where(is_small, rank_s - 1, n_small + rank_l - 1)
+        order = jnp.zeros((n_roi,), jnp.int32).at[pos].set(
+            jnp.arange(n_roi, dtype=jnp.int32))
         boxes = boxes[order]
         batch_idx = batch_idx[order]
         prep = _ml_prep(boxes, dims, strides, s, r,
@@ -627,15 +833,9 @@ def _ml_pallas_ext(
                                r_pad, out_dtype, WIN_Y, WIN, "all")
         return pooled[:n_roi]
 
-    out_s = _ml_call_tier(padded, dims, arrays(prep_small), nsm, s, r, gsz,
-                          r_pad, out_dtype, WIN_S_Y, WIN_S_X, "small")
-    out_l = _ml_call_tier(padded, dims, arrays(prep), nsm, s, r, gsz,
-                          r_pad, out_dtype, WIN_Y, WIN, "large")
-    full_small = (n_small // gsz) * gsz   # rows owned by the small kernel
-    rows = jnp.arange(r_pad)
-    pooled = jnp.where((rows < full_small)[:, None, None, None], out_s, out_l)
-    inv = jnp.argsort(order)              # undo the size sort
-    return pooled[inv]
+    pooled = _ml_call2(padded, dims, arrays(prep), arrays(prep_small),
+                       nsm, s, r, gsz, r_pad, out_dtype)
+    return pooled[pos]                    # undo the size partition
 
 
 # ---------------------------------------------------------------------------
