@@ -238,10 +238,14 @@ def test_train_pooler_grad_with_virtual_level_box(rng):
                                    rtol=1e-4, atol=1e-4)
 
 
-def test_two_tier_matches_single_tier():
-    """The size-sorted small/large window split must be bit-identical to the
-    single-tier kernel for mixed, all-small, and all-large populations."""
-    from u2seg_tpu.ops.roi_align_pallas import _append_virtual_level, _ml_pallas_ext
+def test_adaptive_tiers_match_reference():
+    """The per-ROI adaptive window tiers (small/large DMA extents per axis)
+    must match the exact reference for mixed, all-small, all-large, and
+    mixed-aspect populations — including ROIs at the right/bottom edges
+    where the small-window origin clamps engage."""
+    from u2seg_tpu.ops.roi_align_pallas import (
+        _append_virtual_level, _ml_pallas_ext, multilevel_roi_align_ref,
+    )
 
     rng = np.random.RandomState(11)
     b, c = 2, 32
@@ -251,19 +255,29 @@ def test_two_tier_matches_single_tier():
     strides = (4, 8, 16)
     fx, sx = _append_virtual_level(feats, strides)
 
-    def boxes_of(sizes, n):
-        xy = rng.rand(n, 2).astype(np.float32) * 200
+    def boxes_of(sizes, n, img_w=384.0, img_h=256.0):
+        xy = rng.rand(n, 2).astype(np.float32) * [img_w * 0.9, img_h * 0.9]
         wh = rng.choice(sizes, size=(n, 2)).astype(np.float32)
-        return jnp.asarray(np.concatenate([xy, xy + wh], 1))
+        bx = np.concatenate([xy, xy + wh], 1)
+        bx[:, 0::2] = bx[:, 0::2].clip(0, img_w)
+        bx[:, 1::2] = bx[:, 1::2].clip(0, img_h)
+        return jnp.asarray(bx)
 
+    tall = boxes_of([12.0], 8) + jnp.asarray([[0.0, 0.0, 4.0, 120.0]])
     cases = [
         boxes_of([16.0, 40.0, 90.0, 200.0], 37),   # mixed
         boxes_of([12.0, 20.0], 16),                # all small
         boxes_of([180.0, 240.0], 16),              # all large
+        tall,                                       # small-x / large-y mix
     ]
     for i, bx in enumerate(cases):
         bidx = jnp.asarray(rng.randint(0, b, len(bx)), jnp.int32)
-        one = _ml_pallas_ext(fx, bx, bidx, 7, sx, 2, two_tier=False)
-        two = _ml_pallas_ext(fx, bx, bidx, 7, sx, 2, two_tier=True)
-        np.testing.assert_allclose(np.asarray(two), np.asarray(one),
-                                   rtol=1e-5, atol=1e-5, err_msg=f"case {i}")
+        got = _ml_pallas_ext(fx, bx, bidx, 7, sx, 2)
+        ref = multilevel_roi_align_ref(feats, bx, bidx, 7, strides, 2)
+        # 1e-4 like the sibling pooler tests: the small-tier origins shift
+        # the nonzero taps' lanes within the 40-cell contraction, so SIMD
+        # tree-reduction grouping differs from the ref by f32 reassociation
+        # (~1e-5; the kernel is bit-identical to the previous fixed-window
+        # kernel, which differs from the ref by the same amount)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4, err_msg=f"case {i}")

@@ -44,6 +44,19 @@ WIN_Y = 32  # y window: no alignment requirement, no slack
 # ever edge-clamps (28 cells at the virtual stride 64 covers 1792 px).
 SPAN_BUDGET = min(WIN - 11, WIN_Y - 4)
 
+# Small-window tier, chosen PER ROI PER AXIS: a ROI whose y (x) span fits
+# the small budget DMAs only WIN_S_Y (WIN_S_X) cells along that axis —
+# identical values, a fraction of the HBM traffic (the window DMA is what
+# bounds the pooler). Budgets: y 16-4=12 cells, x 24-11=13 cells including
+# the bilinear halo and the 8-alignment slack.
+WIN_S_Y = 16
+WIN_S_X = 24
+
+# tier code = small_y + 2 * small_x -> DMA extents
+_TIER_DIMS = (
+    (WIN_Y, WIN), (WIN_S_Y, WIN), (WIN_Y, WIN_S_X), (WIN_S_Y, WIN_S_X),
+)
+
 
 def _roi_align_kernel(
     # scalar prefetch
@@ -209,59 +222,67 @@ def _rois_per_step(s: int) -> int:
 
 
 def _ml_kernel(
-    oy_ref,            # (R,) int32 window y origin in the ROI's level
-    ox_ref,            # (R,) int32 aligned x origin
+    oy_ref,            # (R, 2) int32 window y origin per y-tier (large, small)
+    ox_ref,            # (R, 2) int32 aligned x origin per x-tier
     batch_ref,         # (R,) int32
     lvl_ref,           # (R,) int32 level index 0..L-1
+    tier_ref,          # (R,) int32 tier code: small_y + 2*small_x
     y0_ref,            # (R,) f32 roi start y (level coords)
     x0_ref,            # (R,) f32
     binh_ref,          # (R,) f32 bin sizes
     binw_ref,          # (R,) f32
-    nsm_ref,           # (1,) int32 count of small-tier ROIs (tier split)
     *refs,             # L feature refs (B, H_l, W_l, C) in ANY, then out + scratch
     s: int,
     r: int,
     num_levels: int,
     level_dims: tuple,  # static ((H_l, W_l), ...) true (pre-pad) dims
     g: int,             # ROIs per grid step
-    wy: int = WIN_Y,    # window rows
-    wx: int = WIN,      # window cols (8-aligned origin)
-    tier: str = "all",  # "all" | "small" (groups fully below nsm) | "large"
 ):
     out_ref = refs[num_levels]           # (G, s, s, C) block
-    win_ref = refs[num_levels + 1]       # (2, G, wy, wx, C) scratch
+    win_ref = refs[num_levels + 1]       # (2, G, WIN_Y, WIN, C) scratch
     sems = refs[num_levels + 2]          # (2, G) DMA semaphores
 
     step = pl.program_id(0)
     nsteps = pl.num_programs(0)
 
-    def active(grp):
-        # Tier routing over SIZE-SORTED ROIs (small first): the small kernel
-        # takes only groups entirely inside the small prefix; the large
-        # kernel takes the rest (the boundary group pools its small members
-        # with the large window — identical values, just more DMA).
-        if tier == "all":
-            return jnp.bool_(True)
-        if tier == "small":
-            return (grp + 1) * g <= nsm_ref[0]
-        return (grp + 1) * g > nsm_ref[0]
+    # Adaptive windows: each ROI DMAs only the (wy_e, wx_e) extent its span
+    # needs — tier code 0..3 selects (32,40)/(16,40)/(32,24)/(16,24); axis
+    # weights are exactly zero beyond the small extents (see _ml_prep's
+    # small-tier origin clamps), so reading the full (32, 40) buffer in the
+    # matmul with stale values in the un-DMA'd remainder is exact PROVIDED
+    # the stale values are finite (0 * Inf/NaN would poison the MXU sum).
+    # Groups 0 and 1 therefore force the FULL window (from the large-tier
+    # origins): after the two warmup groups every (slot, j) buffer holds
+    # real feature values everywhere, and later small-tier DMAs leave only
+    # old finite features behind. Both the launch and the wait/compute
+    # sides derive the effective tier with the same rule.
+    def eff_tier(grp, roi):
+        return jnp.where(grp < 2, 0, tier_ref[roi])
+
+    def eff_origins(grp, roi):
+        small_y = eff_tier(grp, roi) % 2
+        small_x = eff_tier(grp, roi) // 2
+        return oy_ref[roi, small_y], ox_ref[roi, small_x]
 
     def launch_group(grp, slot):
         # start all window DMAs of group `grp` into buffer `slot` (static)
         for j in range(g):
             roi = grp * g + j
-            oy = oy_ref[roi]
-            ox = pl.multiple_of(ox_ref[roi], 8)
+            tc = eff_tier(grp, roi)
+            oy, ox = eff_origins(grp, roi)
+            ox = pl.multiple_of(ox, 8)
             b = batch_ref[roi]
             lvl = lvl_ref[roi]
             for k in range(num_levels):
-                @pl.when(lvl == k)
-                def _(k=k, j=j, b=b, oy=oy, ox=ox, slot=slot):
-                    pltpu.make_async_copy(
-                        refs[k].at[b, pl.ds(oy, wy), pl.ds(ox, wx), :],
-                        win_ref.at[slot, j],
-                        sems.at[slot, j],
-                    ).start()
+                for t, (wy_e, wx_e) in enumerate(_TIER_DIMS):
+                    @pl.when((lvl == k) & (tc == t))
+                    def _(k=k, j=j, b=b, oy=oy, ox=ox, slot=slot,
+                          wy_e=wy_e, wx_e=wx_e):
+                        pltpu.make_async_copy(
+                            refs[k].at[b, pl.ds(oy, wy_e), pl.ds(ox, wx_e), :],
+                            win_ref.at[slot, j, :wy_e, :wx_e],
+                            sems.at[slot, j],
+                        ).start()
 
     # Double buffering: group i's windows start at step i-1 (group 0 at
     # warmup), so the DMAs of step+1 overlap this step's matmuls. Buffer
@@ -269,15 +290,15 @@ def _ml_kernel(
     # semaphore indexing miscompiles on the TPU backend.
     parity = step % 2 == 0
 
-    @pl.when((step == 0) & active(0))
+    @pl.when(step == 0)
     def _():
         launch_group(0, 0)
 
-    @pl.when((step + 1 < nsteps) & parity & active(step + 1))
+    @pl.when((step + 1 < nsteps) & parity)
     def _():
         launch_group(step + 1, 1)
 
-    @pl.when((step + 1 < nsteps) & jnp.logical_not(parity) & active(step + 1))
+    @pl.when((step + 1 < nsteps) & jnp.logical_not(parity))
     def _():
         launch_group(step + 1, 0)
 
@@ -326,9 +347,9 @@ def _ml_kernel(
 
             ys = y0 + rel * bin_h
             xs = x0 + rel * bin_w
-            wys.append(axis_weights_pooled(ys, h, oy_ref[roi], wy))
-            wxs.append(axis_weights_pooled(
-                xs, w, pl.multiple_of(ox_ref[roi], 8), wx))
+            oy, ox = eff_origins(step, roi)
+            wys.append(axis_weights_pooled(ys, h, oy, WIN_Y))
+            wxs.append(axis_weights_pooled(xs, w, pl.multiple_of(ox, 8), WIN))
 
         # block-diagonalize: tile the stacked (g*s, WIN) weights across g
         # column blocks and zero every off-diagonal block
@@ -340,53 +361,53 @@ def _ml_kernel(
             on_diag = (row_blk == col_blk).astype(jnp.float32)
             return jnp.concatenate([cat] * g, axis=1) * on_diag
 
-        wy_blk = block_diag(jnp.concatenate(wys, axis=0), wy)
-        wx_blk = block_diag(jnp.concatenate(wxs, axis=0), wx)
+        wy_blk = block_diag(jnp.concatenate(wys, axis=0), WIN_Y)
+        wx_blk = block_diag(jnp.concatenate(wxs, axis=0), WIN)
 
         for j in range(g):
-            # wait for this group's windows (later groups' DMAs stay in flight)
-            pltpu.make_async_copy(
-                refs[0].at[0, pl.ds(0, wy), pl.ds(0, wx), :],
-                win_ref.at[slot, j],
-                sems.at[slot, j],
-            ).wait()
+            # wait for this group's windows (later groups' DMAs stay in
+            # flight); the wait descriptor must match the launched copy's
+            # byte count, so it is tier-predicated like the launch
+            roi = step * g + j
+            tc = eff_tier(step, roi)
+            for t, (wy_e, wx_e) in enumerate(_TIER_DIMS):
+                @pl.when(tc == t)
+                def _(j=j, wy_e=wy_e, wx_e=wx_e):
+                    pltpu.make_async_copy(
+                        refs[0].at[0, pl.ds(0, wy_e), pl.ds(0, wx_e), :],
+                        win_ref.at[slot, j, :wy_e, :wx_e],
+                        sems.at[slot, j],
+                    ).wait()
         # matmul1 runs in the window dtype (bf16 on the bf16 compute path,
         # f32 accumulate) — the reference pools under fp16 autocast, so
         # bf16 interpolation weights are within the reference's own AMP
         # precision; it also avoids materializing an f32 window copy
         # (the VMEM cost would cap the group size)
-        window = win_ref[slot]                             # (g, wy, wx, C)
+        window = win_ref[slot]                             # (g, WIN_Y, WIN, C)
         c = window.shape[-1]
         tmp = jax.lax.dot_general(
-            wy_blk.astype(window.dtype), window.reshape(g * wy, wx * c),
+            wy_blk.astype(window.dtype), window.reshape(g * WIN_Y, WIN * c),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                  # (g*s, wx*C)
+        )                                                  # (g*s, WIN*C)
         # contract x: row q*s+n1 holds tmp_q[n1, j, c]; regroup so each
-        # ROI's wx axis lines up with its diagonal block
-        tmp = tmp.reshape(g, s, wx, c).transpose(0, 2, 1, 3)
+        # ROI's WIN axis lines up with its diagonal block
+        tmp = tmp.reshape(g, s, WIN, c).transpose(0, 2, 1, 3)
         out = jax.lax.dot_general(
-            wx_blk, tmp.reshape(g * wx, s * c),
+            wx_blk, tmp.reshape(g * WIN, s * c),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                  # (g*s, s*C): [q,n2 ; n1,c]
         out = out.reshape(g, s, s, c).transpose(0, 2, 1, 3)
         out_ref[:] = out.astype(out_ref.dtype)
 
-    act = active(step)
-
-    @pl.when(parity & act)
+    @pl.when(parity)
     def _():
         compute_group(0)
 
-    @pl.when(jnp.logical_not(parity) & act)
+    @pl.when(jnp.logical_not(parity))
     def _():
         compute_group(1)
-
-    @pl.when(jnp.logical_not(act))
-    def _():
-        # other tier's rows: finite placeholder, merged away by the caller
-        out_ref[:] = jnp.zeros_like(out_ref)
 
 
 def _padded_dims(dims) -> Tuple[Tuple[int, int], ...]:
@@ -495,7 +516,6 @@ def multilevel_roi_align_pallas(
     canonical_box_size: float = 224.0,
     canonical_level: int = 4,
     out_dtype=None,            # None -> float32; bf16 on the inference path
-    two_tier: bool = False,    # small/large window split (see _ml_pallas_ext)
 ) -> jnp.ndarray:
     """FPN ROIPooler as one Pallas kernel: scalar-prefetched level routing,
     one WINxWIN window DMA from the assigned level, separable-matmul
@@ -506,17 +526,17 @@ def multilevel_roi_align_pallas(
     return _ml_pallas_ext(
         features, boxes, batch_idx, output_size, strides,
         sampling_ratio, canonical_box_size, canonical_level,
-        out_dtype=out_dtype, two_tier=two_tier,
+        out_dtype=out_dtype,
     )
 
 
-def _ml_call_tier(padded, dims, prep_arrays, n_small, output_size, r, gsz,
-                  r_pad, out_dtype, wy, wx, tier):
-    """One pallas_call over size-sorted ROIs for one window tier."""
+def _ml_call(padded, dims, prep_arrays, output_size, r, gsz,
+             r_pad, out_dtype):
+    """One pallas_call over all ROIs with per-ROI adaptive window tiers."""
     s = output_size
     num_levels = len(padded)
     c = padded[0].shape[-1]
-    oy_p, ox_p, b_p, lvl_p, y0_p, x0_p, binh_p, binw_p = prep_arrays
+    oy_p, ox_p, b_p, lvl_p, tier_p, y0_p, x0_p, binh_p, binw_p = prep_arrays
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=9,
         grid=(r_pad // gsz,),
@@ -526,14 +546,13 @@ def _ml_call_tier(padded, dims, prep_arrays, n_small, output_size, r, gsz,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, gsz, wy, wx, c), padded[0].dtype),
+            pltpu.VMEM((2, gsz, WIN_Y, WIN, c), padded[0].dtype),
             pltpu.SemaphoreType.DMA((2, gsz)),
         ],
     )
     kernel = functools.partial(
         _ml_kernel, s=s, r=r, num_levels=num_levels,
         level_dims=tuple((int(d[0]), int(d[1])) for d in dims), g=gsz,
-        wy=wy, wx=wx, tier=tier,
     )
     return pl.pallas_call(
         kernel,
@@ -545,223 +564,13 @@ def _ml_call_tier(padded, dims, prep_arrays, n_small, output_size, r, gsz,
             # scoped default; the window buffers are the whole point here
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(oy_p, ox_p, b_p, lvl_p, y0_p, x0_p, binh_p, binw_p, n_small, *padded)
-
-
-# Small-tier window: most COCO proposals are small objects whose span at
-# their canonical level fits a 16x24 window (budgets: y 16-4=12 cells,
-# x 24-11=13 cells incl. bilinear halo and 8-alignment slack) — 3.3x less
-# window DMA than the 32x40 worst-case tier for identical results.
-WIN_S_Y = 16
-WIN_S_X = 24
-
-
-def _ml_kernel2(
-    # scalar prefetch (11)
-    oyl_ref, oxl_ref,        # (R,) int32 large-window origins
-    oys_ref, oxs_ref,        # (R,) int32 small-window origins
-    batch_ref, lvl_ref,      # (R,) int32
-    y0_ref, x0_ref, binh_ref, binw_ref,   # (R,) f32 geometry (tier-agnostic)
-    nsm_ref,                 # (1,) int32 count of small-tier ROIs
-    *refs,                   # L feature refs, out, large scratch, small
-                             # scratch, large sems, small sems
-    s: int,
-    r: int,
-    num_levels: int,
-    level_dims: tuple,
-    g: int,
-):
-    """Two-tier pooler in ONE pallas_call (v2 of _ml_kernel's tier split).
-
-    ROIs arrive stably partitioned small-first. Groups entirely inside the
-    small prefix DMA a WIN_S window per ROI (3.3x fewer bytes); the
-    boundary group and every later group use the full window. One sweep,
-    one output buffer — unlike the two-call split this never zero-fills or
-    merges, and the partition is a cumsum instead of an argsort. Values
-    are identical to the single-tier kernel (window size only adds zero
-    weights).
-    """
-    out_ref = refs[num_levels]
-    winl_ref = refs[num_levels + 1]      # (2, g, WIN_Y, WIN, C)
-    wins_ref = refs[num_levels + 2]      # (2, g, WIN_S_Y, WIN_S_X, C)
-    seml = refs[num_levels + 3]          # (2, g)
-    sems = refs[num_levels + 4]          # (2, g)
-
-    step = pl.program_id(0)
-    nsteps = pl.num_programs(0)
-
-    def small(grp):
-        return (grp + 1) * g <= nsm_ref[0]
-
-    def launch_group(grp, slot):
-        for tier_small in (False, True):
-            cond = small(grp) if tier_small else jnp.logical_not(small(grp))
-
-            @pl.when(cond)
-            def _(tier_small=tier_small):
-                oy_ref = oys_ref if tier_small else oyl_ref
-                ox_ref = oxs_ref if tier_small else oxl_ref
-                wy = WIN_S_Y if tier_small else WIN_Y
-                wx = WIN_S_X if tier_small else WIN
-                win_ref = wins_ref if tier_small else winl_ref
-                sem = sems if tier_small else seml
-                for j in range(g):
-                    roi = grp * g + j
-                    oy = oy_ref[roi]
-                    ox = pl.multiple_of(ox_ref[roi], 8)
-                    b = batch_ref[roi]
-                    lvl = lvl_ref[roi]
-                    for k in range(num_levels):
-                        @pl.when(lvl == k)
-                        def _(k=k, j=j, b=b, oy=oy, ox=ox):
-                            pltpu.make_async_copy(
-                                refs[k].at[b, pl.ds(oy, wy), pl.ds(ox, wx), :],
-                                win_ref.at[slot, j],
-                                sem.at[slot, j],
-                            ).start()
-
-    parity = step % 2 == 0
-
-    @pl.when(step == 0)
-    def _():
-        launch_group(0, 0)
-
-    @pl.when((step + 1 < nsteps) & parity)
-    def _():
-        launch_group(step + 1, 1)
-
-    @pl.when((step + 1 < nsteps) & jnp.logical_not(parity))
-    def _():
-        launch_group(step + 1, 0)
-
-    n = s * r
-    idx_i = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-    offs = (idx_i // r).astype(jnp.float32)
-    sub = ((idx_i % r).astype(jnp.float32) + 0.5) / r
-    rel = (offs + sub)[:, 0]
-
-    def axis_weights_pooled(coords, size, origin, win):
-        inside = (coords >= -1.0) & (coords <= size)
-        cc = jnp.clip(coords, 0.0, size - 1.0)
-        local = jnp.clip(cc - origin.astype(jnp.float32), 0.0, win - 1.0)
-        cells = jax.lax.broadcasted_iota(jnp.int32, (n, win), 1).astype(
-            jnp.float32
-        )
-        wgt = jnp.maximum(0.0, 1.0 - jnp.abs(local[:, None] - cells))
-        wgt = wgt * inside[:, None]
-        return wgt.reshape(s, r, win).sum(axis=1) * (1.0 / r)
-
-    def compute_group(slot, tier_small):
-        oy_ref = oys_ref if tier_small else oyl_ref
-        ox_ref = oxs_ref if tier_small else oxl_ref
-        wy = WIN_S_Y if tier_small else WIN_Y
-        wx = WIN_S_X if tier_small else WIN
-        win_ref = wins_ref if tier_small else winl_ref
-        sem = sems if tier_small else seml
-        wys, wxs = [], []
-        for j in range(g):
-            roi = step * g + j
-            lvl = lvl_ref[roi]
-            h = jnp.float32(level_dims[0][0])
-            w = jnp.float32(level_dims[0][1])
-            for k in range(1, num_levels):
-                h = jnp.where(lvl == k, jnp.float32(level_dims[k][0]), h)
-                w = jnp.where(lvl == k, jnp.float32(level_dims[k][1]), w)
-            ys = y0_ref[roi] + rel * binh_ref[roi]
-            xs = x0_ref[roi] + rel * binw_ref[roi]
-            wys.append(axis_weights_pooled(ys, h, oy_ref[roi], wy))
-            wxs.append(axis_weights_pooled(
-                xs, w, pl.multiple_of(ox_ref[roi], 8), wx))
-
-        def block_diag(cat, win):
-            row_blk = jax.lax.broadcasted_iota(
-                jnp.int32, (g * s, g * win), 0) // s
-            col_blk = jax.lax.broadcasted_iota(
-                jnp.int32, (g * s, g * win), 1) // win
-            on_diag = (row_blk == col_blk).astype(jnp.float32)
-            return jnp.concatenate([cat] * g, axis=1) * on_diag
-
-        wy_blk = block_diag(jnp.concatenate(wys, axis=0), wy)
-        wx_blk = block_diag(jnp.concatenate(wxs, axis=0), wx)
-
-        for j in range(g):
-            pltpu.make_async_copy(
-                refs[0].at[0, pl.ds(0, wy), pl.ds(0, wx), :],
-                win_ref.at[slot, j],
-                sem.at[slot, j],
-            ).wait()
-        window = win_ref[slot]                           # (g, wy, wx, C)
-        c = window.shape[-1]
-        tmp = jax.lax.dot_general(
-            wy_blk.astype(window.dtype), window.reshape(g * wy, wx * c),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                # (g*s, wx*C)
-        tmp = tmp.reshape(g, s, wx, c).transpose(0, 2, 1, 3)
-        out = jax.lax.dot_general(
-            wx_blk, tmp.reshape(g * wx, s * c),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                # (g*s, s*C)
-        out = out.reshape(g, s, s, c).transpose(0, 2, 1, 3)
-        out_ref[:] = out.astype(out_ref.dtype)
-
-    for tier_small in (False, True):
-        cond = small(step) if tier_small else jnp.logical_not(small(step))
-
-        @pl.when(parity & cond)
-        def _(tier_small=tier_small):
-            compute_group(0, tier_small)
-
-        @pl.when(jnp.logical_not(parity) & cond)
-        def _(tier_small=tier_small):
-            compute_group(1, tier_small)
-
-
-def _ml_call2(padded, dims, arrays_l, arrays_s, n_small, output_size, r,
-              gsz, r_pad, out_dtype):
-    """One pallas_call over size-partitioned ROIs, both window tiers."""
-    s = output_size
-    num_levels = len(padded)
-    c = padded[0].shape[-1]
-    oy_l, ox_l, b_p, lvl_p, y0_p, x0_p, binh_p, binw_p = arrays_l
-    oy_s, ox_s = arrays_s[0], arrays_s[1]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=11,
-        grid=(r_pad // gsz,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * num_levels,
-        out_specs=pl.BlockSpec(
-            (gsz, s, s, c), lambda i, *_: (i, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, gsz, WIN_Y, WIN, c), padded[0].dtype),
-            pltpu.VMEM((2, gsz, WIN_S_Y, WIN_S_X, c), padded[0].dtype),
-            pltpu.SemaphoreType.DMA((2, gsz)),
-            pltpu.SemaphoreType.DMA((2, gsz)),
-        ],
-    )
-    kernel = functools.partial(
-        _ml_kernel2, s=s, r=r, num_levels=num_levels,
-        level_dims=tuple((int(d[0]), int(d[1])) for d in dims), g=gsz,
-    )
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(
-            (r_pad, s, s, c), jnp.dtype(out_dtype or jnp.float32)),
-        grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-    )(oy_l, ox_l, oy_s, ox_s, b_p, lvl_p, y0_p, x0_p, binh_p, binw_p,
-      n_small, *padded)
+    )(oy_p, ox_p, b_p, lvl_p, tier_p, y0_p, x0_p, binh_p, binw_p, *padded)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("output_size", "strides", "sampling_ratio",
-                     "canonical_box_size", "canonical_level", "out_dtype",
-                     "two_tier"),
+                     "canonical_box_size", "canonical_level", "out_dtype"),
 )
 def _ml_pallas_ext(
     features,                  # EXTENDED list (last level is virtual)
@@ -773,7 +582,6 @@ def _ml_pallas_ext(
     canonical_box_size: float = 224.0,
     canonical_level: int = 4,
     out_dtype=None,
-    two_tier: bool = False,
 ) -> jnp.ndarray:
     if sampling_ratio <= 0:
         sampling_ratio = 2
@@ -787,29 +595,17 @@ def _ml_pallas_ext(
     dims = tuple((f.shape[1], f.shape[2]) for f in features)
     prep = _ml_prep(boxes, dims, strides, s, r,
                     canonical_box_size, canonical_level)
-
-    if two_tier:
-        # stable small-first partition via cumsum ranks (no argsort): ROI i
-        # lands at sorted position pos[i]; order = the inverse permutation
-        is_small = (
-            (prep["bin_h"] * s <= WIN_S_Y - 4)
-            & (prep["bin_w"] * s <= WIN_S_X - 11)
-        )
-        rank_s = jnp.cumsum(is_small.astype(jnp.int32))
-        rank_l = jnp.cumsum((~is_small).astype(jnp.int32))
-        n_small = rank_s[-1]
-        pos = jnp.where(is_small, rank_s - 1, n_small + rank_l - 1)
-        order = jnp.zeros((n_roi,), jnp.int32).at[pos].set(
-            jnp.arange(n_roi, dtype=jnp.int32))
-        boxes = boxes[order]
-        batch_idx = batch_idx[order]
-        prep = _ml_prep(boxes, dims, strides, s, r,
-                        canonical_box_size, canonical_level)
-        prep_small = _ml_prep(boxes, dims, strides, s, r,
-                              canonical_box_size, canonical_level,
-                              win_y=WIN_S_Y, win_x=WIN_S_X)
-    else:
-        n_small = jnp.zeros((), jnp.int32)
+    # small-window origins per axis (identical routing; only the window
+    # clamp differs) + the per-ROI tier code. Padding ROIs get tier 0
+    # (full window at origin 0 — always in bounds).
+    prep_s = _ml_prep(boxes, dims, strides, s, r,
+                      canonical_box_size, canonical_level,
+                      win_y=WIN_S_Y, win_x=WIN_S_X)
+    small_y = prep["bin_h"] * s <= WIN_S_Y - 4
+    small_x = prep["bin_w"] * s <= WIN_S_X - 11
+    tier = small_y.astype(jnp.int32) + 2 * small_x.astype(jnp.int32)
+    oy2 = jnp.stack([prep["oy"], prep_s["oy"]], axis=1)   # (R, 2)
+    ox2 = jnp.stack([prep["ox"], prep_s["ox"]], axis=1)   # (R, 2)
 
     padded = []
     for f, (ph, pw) in zip(features, prep["pdims"]):
@@ -819,23 +615,16 @@ def _ml_pallas_ext(
         padded.append(f)
 
     def pad1(x, value=0):
-        return jnp.pad(x, (0, r_pad - n_roi), constant_values=value)
+        pad = ((0, r_pad - n_roi),) + ((0, 0),) * (x.ndim - 1)
+        return jnp.pad(x, pad, constant_values=value)
 
-    def arrays(p):
-        return (pad1(p["oy"]), pad1(p["ox"]),
-                pad1(batch_idx.astype(jnp.int32)), pad1(p["lvl"]),
-                pad1(p["y0"]), pad1(p["x0"]),
-                pad1(p["bin_h"]), pad1(p["bin_w"]))
-
-    nsm = n_small.reshape(1)
-    if not two_tier:
-        pooled = _ml_call_tier(padded, dims, arrays(prep), nsm, s, r, gsz,
-                               r_pad, out_dtype, WIN_Y, WIN, "all")
-        return pooled[:n_roi]
-
-    pooled = _ml_call2(padded, dims, arrays(prep), arrays(prep_small),
-                       nsm, s, r, gsz, r_pad, out_dtype)
-    return pooled[pos]                    # undo the size partition
+    arrays = (pad1(oy2), pad1(ox2),
+              pad1(batch_idx.astype(jnp.int32)), pad1(prep["lvl"]),
+              pad1(tier),
+              pad1(prep["y0"]), pad1(prep["x0"]),
+              pad1(prep["bin_h"]), pad1(prep["bin_w"]))
+    pooled = _ml_call(padded, dims, arrays, s, r, gsz, r_pad, out_dtype)
+    return pooled[:n_roi]
 
 
 # ---------------------------------------------------------------------------
