@@ -148,14 +148,17 @@ def bench_train():
 def bench_e2e(n_images: int = 200, detail_path: str | None = None):
     """Honest end-to-end panoptic throughput (``bench.py`` default mode).
 
-    Drives the metric-of-record path — ``DefaultPredictor.run_batched``:
-    host resize/pad -> batched jitted device forward -> per-image device
-    fetch (detections + mask logits + stride-4 sem logits) -> host-side
-    exact full-resolution mask paste + semantic upsample + panoptic fusion
-    (engine/panoptic_render.py). This is the same pipeline
-    ``run_panoptic_evaluation`` uses minus dataset IO and evaluators
-    (reference counterpart: evaluation/evaluator.py:103 inference loop +
-    detector_postprocess/sem_seg_postprocess/combine_semantic...).
+    Drives the metric-of-record path — ``DefaultPredictor.run_batched``
+    with the production config (device_render + device_resize on): raw
+    uint8 batch upload -> on-device test-time resize -> batched jitted
+    forward -> exact full-resolution ON-DEVICE render (mask paste +
+    semantic upsample + panoptic fusion + RLE pack, engine/device_render.py)
+    -> compacted RLE fetch -> threaded host decode to panoptic maps
+    (engine/panoptic_render.py holds the host oracle/fallback for the same
+    math). This is the same pipeline ``run_panoptic_evaluation`` uses minus
+    dataset IO and evaluators (reference counterpart:
+    evaluation/evaluator.py:103 inference loop + detector_postprocess/
+    sem_seg_postprocess/combine_semantic_and_instance_outputs).
 
     Images are synthetic COCO-val-like 480x640 RGB (all map to the
     800x1344 bucket, so exactly one compile). Throughput excludes compile

@@ -68,9 +68,18 @@ def load_cityscapes_instances(image_dir: str, gt_dir: str) -> List[dict]:
                     gmask = inst == iid
                     from u2seg_tpu.evaluation import rle as rle_codec
 
+                    # tight bbox of the group region, not the full image:
+                    # COCOeval's crowd-IoU in the bbox fallback path is
+                    # intersection/detection-area, so a full-image crowd
+                    # box would ignore every unmatched detection of this
+                    # class instead of counting it as a false positive
+                    gys, gxs = np.nonzero(gmask)
+                    gx0, gy0 = float(gxs.min()), float(gys.min())
                     anns.append({
                         "category_id": _THING_LABEL_IDS[int(iid)],
-                        "bbox": [0.0, 0.0, float(w), float(h)],
+                        "bbox": [gx0, gy0,
+                                 float(gxs.max() + 1 - gx0),
+                                 float(gys.max() + 1 - gy0)],
                         "area": int(gmask.sum()),
                         "iscrowd": 1,
                         "segmentation": rle_codec.encode(

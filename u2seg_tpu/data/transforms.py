@@ -52,7 +52,16 @@ class NoOpTransform(Transform):
 
 class ResizeTransform(Transform):
     """Bilinear image resize (nearest for segmentation), matching the
-    reference's ResizeTransform (transform.py)."""
+    reference's ResizeTransform (transform.py) in geometry.
+
+    Interpolation divergence: the reference resizes uint8 images via PIL
+    BILINEAR; this build uses cv2 bilinear (and the batched predictor's
+    device path resizes float32 on-device). Pixel values can differ by
+    ~1 ulp of uint8, which shifts real-dataset AP/PQ against detectron2
+    in the 3rd decimal. Internal device/host parity is unaffected (both
+    sides share one path). If exact reference preprocessing is ever
+    needed, swap apply_image to PIL here and disable the predictor's
+    raw-u8 device resize (engine/predictor.py _prepare_raw)."""
 
     def __init__(self, h: int, w: int, new_h: int, new_w: int):
         self.h, self.w, self.new_h, self.new_w = h, w, new_h, new_w

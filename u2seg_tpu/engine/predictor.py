@@ -436,7 +436,10 @@ class DefaultPredictor:
             while pending:
                 yield from pending.popleft().result()
         finally:
-            pool.shutdown(wait=False)
+            # cancel queued work so a consumer abandoning the generator
+            # mid-stream doesn't leave detached futures whose exceptions
+            # would be silently dropped
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 def build_u2seg_evaluators(cfg: Config, meta, eval_mode: str,

@@ -117,11 +117,14 @@ def evaluate_instance_ap(
                 p_count[pi] = int(pm.sum())
                 for gi, g in enumerate(kept):
                     inter[gi, pi] = int(np.logical_and(g["mask"], pm).sum())
-                if ignore_masks:
-                    ig = np.zeros_like(pm)
-                    for m in ignore_masks:
-                        ig |= m
-                    ig_inter[pi] = int(np.logical_and(ig, pm).sum())
+                # official protocol SUMS per-region intersections
+                # (voidIntersection + each ignored instance separately,
+                # cityscapesscripts evalInstanceLevelSemanticLabeling):
+                # overlapping ignore regions count multiply, so a union
+                # here would under-count the ignore proportion
+                ig_inter[pi] = sum(
+                    int(np.logical_and(m, pm).sum()) for m in ignore_masks
+                )
             per_cls[cls] = {
                 "g_count": np.array([int(g["mask"].sum()) for g in kept],
                                     np.int64),
