@@ -8,6 +8,14 @@ dev/run_tests.sh, parses the pytest summary, and records
 per-tier map so the newest green run of each tier is always visible.
 
 Usage:  python dev/stamp_tests_green.py [fast|medium|slow|all]
+        python dev/stamp_tests_green.py --check [tiers...]
+
+Stamp discipline (VERDICT r3 #6 — rounds 2 and 3 both shipped hot-path
+edits made AFTER the last stamp, and round 2 shipped broken because of
+it): stamping a DIRTY tree is refused (the stamp would attest a state no
+commit can reproduce) unless --allow-dirty is given. ``--check`` verifies
+that every named tier (default: fast, medium) is stamped green AT HEAD of
+a clean tree — run it as the final gate before ending a round.
 """
 import datetime
 import json
@@ -20,8 +28,52 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def git(*args):
+    return subprocess.run(["git", *args], cwd=ROOT, capture_output=True,
+                          text=True).stdout.strip()
+
+
+def check(tiers):
+    """Fail unless every tier is stamped green at a clean HEAD."""
+    path = os.path.join(ROOT, "artifacts", "tests_green.json")
+    head = git("rev-parse", "HEAD")
+    dirty = bool(git("status", "--porcelain", "-uno"))
+    with open(path) as f:
+        data = json.load(f)
+    bad = []
+    if dirty:
+        bad.append("working tree is dirty")
+    for tier in tiers:
+        s = data.get(tier)
+        if s is None:
+            bad.append(f"{tier}: never stamped")
+        elif not s["green"]:
+            bad.append(f"{tier}: stamped NOT green at {s['sha'][:9]}")
+        elif s["dirty"]:
+            bad.append(f"{tier}: stamped on a dirty tree at {s['sha'][:9]}")
+        elif s["sha"] != head:
+            bad.append(f"{tier}: stamped at {s['sha'][:9]}, HEAD is "
+                       f"{head[:9]} — re-run `python dev/stamp_tests_green"
+                       f".py {tier}`")
+    if bad:
+        for b in bad:
+            print(f"STAMP CHECK FAILED: {b}")
+        sys.exit(1)
+    print(f"stamp check ok at {head[:9]}: {', '.join(tiers)} green")
+    sys.exit(0)
+
+
 def main():
-    tier = sys.argv[1] if len(sys.argv) > 1 else "fast"
+    args = [a for a in sys.argv[1:] if a != "--allow-dirty"]
+    allow_dirty = "--allow-dirty" in sys.argv
+    if args and args[0] == "--check":
+        check(args[1:] or ["fast", "medium"])
+    tier = args[0] if args else "fast"
+    if not allow_dirty and bool(git("status", "--porcelain", "-uno")):
+        print("REFUSING to stamp a dirty tree (the stamp would attest a "
+              "state no commit reproduces); commit first or pass "
+              "--allow-dirty for a throwaway run.")
+        sys.exit(1)
     t0 = time.time()
     proc = subprocess.run(
         ["bash", os.path.join(ROOT, "dev", "run_tests.sh"), tier],

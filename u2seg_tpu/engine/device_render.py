@@ -147,26 +147,27 @@ def rle_encode(flat: jnp.ndarray, max_runs: int):
     values[r]; the last run ends at ``flat.size``.
     """
     n = flat.shape[0]
-    boundary = flat[1:] != flat[:-1]                          # (n-1,)
-    rank = jnp.cumsum(boundary.astype(jnp.int32))             # 1-based
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), flat[1:] != flat[:-1]])        # (n,)
+    rank = jnp.cumsum(boundary.astype(jnp.int32)) - 1         # 0-based run id
     n_runs = rank[-1] + 1
-    # scatter run-start positions into their slots; overflow -> dummy slot
-    dest = jnp.where(boundary, jnp.minimum(rank, max_runs), max_runs)
-    starts = jnp.zeros((max_runs + 1,), jnp.int32).at[dest].max(
-        jnp.arange(1, n, dtype=jnp.int32)
-    )[:max_runs]
-    # run values via a second scatter of the post-boundary elements rather
-    # than ``flat[starts]``: a gather indexed by ``starts`` makes XLA place
-    # the starts scatter's output in SMEM, demoting it to the SERIAL scalar
-    # core (~3.5 ms per 410k-element map on v5e vs ~30 us vectorized).
-    # Values are non-negative ids, so scatter-max from a zero init is exact
-    # and deterministic.
-    vals = jnp.zeros((max_runs + 1,), jnp.int32).at[dest].max(
-        flat[1:].astype(jnp.int32)
-    )
-    values = jnp.concatenate(
-        [flat[:1].astype(jnp.int32), vals[1:max_runs]]
-    )
+    # SCATTER-FREE compaction: stream compaction as a key sort. Boundary
+    # positions keep their run id as the key, everything else keys to n;
+    # a stable sort_key_val against the position iota then yields the run
+    # start positions as the first n_runs entries, already in run order.
+    # XLA's TPU sort is fully vectorized (~0.96 ms per 410k map on v5e);
+    # the scatter-max formulation this replaces carries duplicate indices,
+    # which XLA lowers to the SERIAL scalar core (~6.9 ms per map) whenever
+    # the input is a computed value rather than a parameter.
+    key = jnp.where(boundary, rank, n).astype(jnp.int32)
+    _, starts_full = jax.lax.sort_key_val(
+        key, jnp.arange(n, dtype=jnp.int32))
+    starts = starts_full[:max_runs]
+    if n < max_runs:  # tiny maps (tests): budget exceeds the pixel count
+        starts = jnp.pad(starts, (0, max_runs - n))
+    ok = jnp.arange(max_runs) < jnp.minimum(n_runs, max_runs)
+    starts = jnp.where(ok, starts, 0)
+    values = jnp.where(ok, flat[starts].astype(jnp.int32), 0)
     return starts, values, n_runs
 
 

@@ -222,11 +222,9 @@ def _rois_per_step(s: int) -> int:
 
 
 def _ml_kernel(
-    oy_ref,            # (R, 2) int32 window y origin per y-tier (large, small)
-    ox_ref,            # (R, 2) int32 aligned x origin per x-tier
-    batch_ref,         # (R,) int32
-    lvl_ref,           # (R,) int32 level index 0..L-1
-    tier_ref,          # (R,) int32 tier code: small_y + 2*small_x
+    oy_ref,            # (R,) int32 y origins packed large | small << 16
+    ox_ref,            # (R,) int32 aligned x origins packed large | small << 16
+    blt_ref,           # (R,) int32 packed batch | level << 16 | tier << 20
     y0_ref,            # (R,) f32 roi start y (level coords)
     x0_ref,            # (R,) f32
     binh_ref,          # (R,) f32 bin sizes
@@ -256,13 +254,21 @@ def _ml_kernel(
     # real feature values everywhere, and later small-tier DMAs leave only
     # old finite features behind. Both the launch and the wait/compute
     # sides derive the effective tier with the same rule.
+    #
+    # The per-ROI scalars ride in SMEM (1 MB total, shared with control
+    # structures); at inference R (=1000 ROIs) separate tier/level/batch
+    # and (R, 2) origin arrays overflow it, so the origins are packed
+    # large|small<<16 per axis (origins < 2^15) and batch/level/tier
+    # share one word.
     def eff_tier(grp, roi):
-        return jnp.where(grp < 2, 0, tier_ref[roi])
+        return jnp.where(grp < 2, 0, (blt_ref[roi] >> 20) & 0x3)
 
     def eff_origins(grp, roi):
-        small_y = eff_tier(grp, roi) % 2
-        small_x = eff_tier(grp, roi) // 2
-        return oy_ref[roi, small_y], ox_ref[roi, small_x]
+        t = eff_tier(grp, roi)
+        pk_y, pk_x = oy_ref[roi], ox_ref[roi]
+        oy = jnp.where(t % 2 == 1, pk_y >> 16, pk_y & 0xFFFF)
+        ox = jnp.where(t // 2 == 1, pk_x >> 16, pk_x & 0xFFFF)
+        return oy, ox
 
     def launch_group(grp, slot):
         # start all window DMAs of group `grp` into buffer `slot` (static)
@@ -271,8 +277,8 @@ def _ml_kernel(
             tc = eff_tier(grp, roi)
             oy, ox = eff_origins(grp, roi)
             ox = pl.multiple_of(ox, 8)
-            b = batch_ref[roi]
-            lvl = lvl_ref[roi]
+            b = blt_ref[roi] & 0xFFFF
+            lvl = (blt_ref[roi] >> 16) & 0xF
             for k in range(num_levels):
                 for t, (wy_e, wx_e) in enumerate(_TIER_DIMS):
                     @pl.when((lvl == k) & (tc == t))
@@ -334,7 +340,7 @@ def _ml_kernel(
         wys, wxs = [], []
         for j in range(g):
             roi = step * g + j
-            lvl = lvl_ref[roi]
+            lvl = (blt_ref[roi] >> 16) & 0xF
             y0 = y0_ref[roi]
             x0 = x0_ref[roi]
             bin_h = binh_ref[roi]
@@ -536,9 +542,9 @@ def _ml_call(padded, dims, prep_arrays, output_size, r, gsz,
     s = output_size
     num_levels = len(padded)
     c = padded[0].shape[-1]
-    oy_p, ox_p, b_p, lvl_p, tier_p, y0_p, x0_p, binh_p, binw_p = prep_arrays
+    oy_p, ox_p, blt_p, y0_p, x0_p, binh_p, binw_p = prep_arrays
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=9,
+        num_scalar_prefetch=7,
         grid=(r_pad // gsz,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * num_levels,
         out_specs=pl.BlockSpec(
@@ -564,7 +570,7 @@ def _ml_call(padded, dims, prep_arrays, output_size, r, gsz,
             # scoped default; the window buffers are the whole point here
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(oy_p, ox_p, b_p, lvl_p, tier_p, y0_p, x0_p, binh_p, binw_p, *padded)
+    )(oy_p, ox_p, blt_p, y0_p, x0_p, binh_p, binw_p, *padded)
 
 
 @functools.partial(
@@ -604,8 +610,10 @@ def _ml_pallas_ext(
     small_y = prep["bin_h"] * s <= WIN_S_Y - 4
     small_x = prep["bin_w"] * s <= WIN_S_X - 11
     tier = small_y.astype(jnp.int32) + 2 * small_x.astype(jnp.int32)
-    oy2 = jnp.stack([prep["oy"], prep_s["oy"]], axis=1)   # (R, 2)
-    ox2 = jnp.stack([prep["ox"], prep_s["ox"]], axis=1)   # (R, 2)
+    # pack per-ROI scalars to fit SMEM at inference R (see _ml_kernel):
+    # origins large|small<<16 (both < 2^15); batch | level<<16 | tier<<20
+    oy_pk = prep["oy"] | (prep_s["oy"] << 16)             # (R,)
+    ox_pk = prep["ox"] | (prep_s["ox"] << 16)             # (R,)
 
     padded = []
     for f, (ph, pw) in zip(features, prep["pdims"]):
@@ -618,9 +626,9 @@ def _ml_pallas_ext(
         pad = ((0, r_pad - n_roi),) + ((0, 0),) * (x.ndim - 1)
         return jnp.pad(x, pad, constant_values=value)
 
-    arrays = (pad1(oy2), pad1(ox2),
-              pad1(batch_idx.astype(jnp.int32)), pad1(prep["lvl"]),
-              pad1(tier),
+    blt = (batch_idx.astype(jnp.int32) | (prep["lvl"] << 16)
+           | (tier << 20))
+    arrays = (pad1(oy_pk), pad1(ox_pk), pad1(blt),
               pad1(prep["y0"]), pad1(prep["x0"]),
               pad1(prep["bin_h"]), pad1(prep["bin_w"]))
     pooled = _ml_call(padded, dims, arrays, s, r, gsz, r_pad, out_dtype)
