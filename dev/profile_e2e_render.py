@@ -97,7 +97,7 @@ def main(n_images=48):
             jnp.asarray(sizes), bucket=bucket)
         bytes_up += raw.nbytes
         t2 = time.perf_counter()
-        _sync_scalar(out[0].pan_nruns)   # completion barrier
+        _sync_scalar(out[0].offs[-1])    # completion barrier
         t3 = time.perf_counter()
         group = [(i, None, tuple(sizes[i]), tuple(osizes[i]))
                  for i in range(bs)]
@@ -109,13 +109,13 @@ def main(n_images=48):
         t["device"] += t3 - t2
         t["fetch"] += 0.0
         t["decode"] += t4 - t3
-    # fetched bytes per batch: RenderedImage fields + det
-    import dataclasses as _dc
-
-    from u2seg_tpu.engine.device_render import RenderedImage  # noqa: F401
+    # fetched bytes per batch: exactly what _drain_rendered device_gets —
+    # the small per-image tables + the static RLE prefix + detections
     rendered = out[0]
-    for f in _dc.fields(rendered):
-        bytes_down += np.asarray(getattr(rendered, f.name)).nbytes * nb
+    for name in ("offs", "takes", "order", "sorted_scores",
+                 "sorted_classes", "stuff_ok", "stuff_area", "fallback",
+                 "starts_prefix", "values_prefix"):
+        bytes_down += np.asarray(getattr(rendered, name)).nbytes * nb
     for k in ("boxes", "scores", "classes", "valid"):
         bytes_down += np.asarray(out[1][k]).nbytes * nb
 
