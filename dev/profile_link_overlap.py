@@ -1,9 +1,14 @@
-"""Characterize the dev-tunnel link: bandwidths, and whether h2d uploads,
-d2h fetches, and device compute can overlap each other — the answer
-decides the e2e pipelining design (max(link, device) vs sum).
+"""Characterize the dev-tunnel link: bandwidths, their VARIANCE, and
+whether h2d uploads, d2h fetches, and device compute can overlap each
+other — the answer decides the e2e pipelining design (max(link, device)
+vs sum).
 
 All timings use wall clock around genuinely-blocking host calls
 (device_get / np.asarray); block_until_ready can return early here.
+Every d2h probe fetches an array that has NEVER been fetched before:
+jax caches the host copy of an unmodified device array, so re-fetching
+the same array measures a memcpy, not the link (an earlier revision of
+this script fell for exactly that, reporting 3.6 ms for 7.4 MB).
 """
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -25,12 +30,12 @@ def timed(label, f):
 
 def main():
     print("platform:", jax.devices()[0].platform, flush=True)
-    up = np.random.RandomState(0).randint(
-        0, 255, (8, 480, 640, 3), np.uint8)           # 7.37 MB
+    rng = np.random.RandomState(0)
+    up = rng.randint(0, 255, (8, 480, 640, 3), np.uint8)  # 7.37 MB
     nbytes_up = up.nbytes
 
     # a compute of known duration: chained matmuls
-    a = jnp.asarray(np.random.rand(4096, 4096).astype(np.float32))
+    a = jnp.asarray(rng.rand(4096, 4096).astype(np.float32))
 
     @jax.jit
     def burn(a, n):
@@ -39,11 +44,20 @@ def main():
         return jax.lax.fori_loop(0, n, body, a)[0, 0]
 
     float(np.asarray(burn(a, 4)))                      # compile
-    # calibrate burn duration via scalar fetch
     t0 = time.perf_counter()
     float(np.asarray(burn(a, 64)))
     t_burn = time.perf_counter() - t0
     print(f"burn(64): {t_burn * 1e3:.1f} ms", flush=True)
+
+    # device-resident arrays for d2h probes, one per fetch, never fetched.
+    # vary the content (+i) so no host-copy cache can alias them.
+    fresh = [(jax.device_put(up) + np.uint8(i)) for i in range(6)]
+    for x in fresh:
+        x.block_until_ready()
+    fetch_i = iter(range(len(fresh)))
+
+    def d2h():
+        return np.asarray(fresh[next(fetch_i)]).sum()
 
     # --- h2d alone (blocking: force materialization via tiny use) -------
     def h2d():
@@ -52,15 +66,21 @@ def main():
         # force: fetch 1 byte derived from the array so the transfer is done
         return float(jnp.asarray(x[0, 0, 0, 0], jnp.float32))
 
-    _, t_up = timed("h2d 7.37MB (incl dispatch)", h2d)
-    _, t_up = timed("h2d 7.37MB (warm)", h2d)
-    print(f"  -> h2d {nbytes_up / t_up / MB:.1f} MB/s", flush=True)
+    ups = []
+    for k in range(3):
+        _, t_up = timed(f"h2d 7.37MB [{k}]", h2d)
+        ups.append(t_up)
+    t_up = min(ups)
+    print(f"  -> h2d best {nbytes_up / t_up / MB:.1f} MB/s, worst "
+          f"{nbytes_up / max(ups) / MB:.1f} MB/s", flush=True)
 
-    # --- d2h alone -------------------------------------------------------
-    big = jax.device_put(up)
-    float(jnp.asarray(big[0, 0, 0, 0], jnp.float32))
-    _, t_down = timed("d2h 7.37MB", lambda: np.asarray(big).sum())
-    print(f"  -> d2h {nbytes_up / t_down / MB:.1f} MB/s", flush=True)
+    downs = []
+    for k in range(2):
+        _, t_down = timed(f"d2h 7.37MB [{k}]", d2h)
+        downs.append(t_down)
+    t_down = min(downs)
+    print(f"  -> d2h best {nbytes_up / t_down / MB:.1f} MB/s, worst "
+          f"{nbytes_up / max(downs) / MB:.1f} MB/s", flush=True)
 
     # --- compute then upload: does h2d wait for the queued compute? -----
     def compute_then_up():
@@ -76,11 +96,11 @@ def main():
           f"(serial would be ~{(t_burn + t_up) * 1e3:.0f}, overlapped "
           f"~{max(t_burn, t_up) * 1e3:.0f})", flush=True)
 
-    # --- compute then fetch of an UNRELATED ready array ------------------
+    # --- compute then fetch of an UNRELATED never-fetched array ----------
     def compute_then_down():
         r = burn(a, 64)
         t0 = time.perf_counter()
-        np.asarray(big).sum()
+        d2h()
         t_mid = time.perf_counter() - t0
         float(np.asarray(r))
         return t_mid
@@ -94,7 +114,7 @@ def main():
     pool = ThreadPoolExecutor(2)
     t0 = time.perf_counter()
     f1 = pool.submit(h2d)
-    f2 = pool.submit(lambda: np.asarray(big).sum())
+    f2 = pool.submit(d2h)
     f1.result(); f2.result()
     t_both = time.perf_counter() - t0
     print(f"h2d || d2h: {t_both * 1e3:.1f} ms (serial "
