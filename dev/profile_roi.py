@@ -39,12 +39,18 @@ def main():
     dtype = jnp.bfloat16
     rng = np.random.RandomState(0)
 
-    # synthetic FPN pyramid p2-p5 (NHWC, bf16)
-    feats = []
+    # synthetic FPN pyramid p2-p5 (NHWC, bf16) — generated ON DEVICE: the
+    # host version is ~275 MB of uploads, minutes on the dev tunnel
     strides = (4, 8, 16, 32)
-    for s in strides:
-        feats.append(jnp.array(
-            rng.rand(b, h // s, w // s, 256).astype(np.float32), dtype))
+
+    @jax.jit
+    def _mk_feats(key):
+        ks = jax.random.split(key, len(strides))
+        return [jax.random.uniform(kk, (b, h // s, w // s, 256), dtype)
+                for kk, s in zip(ks, strides)]
+
+    feats = _mk_feats(jax.random.PRNGKey(0))
+    jax.block_until_ready(feats)
 
     # realistic boxes: mixed scales
     n = b * k

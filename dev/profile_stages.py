@@ -52,12 +52,19 @@ def main():
     model = build_model(cfg)
 
     b, h, w = int(os.environ.get("PROF_BATCH", "4")), 800, 1344
-    rng = np.random.RandomState(0)
-    images = jnp.array(rng.rand(b, h, w, 3).astype(np.float32) * 255)
+    # generate on device: a (8, 800, 1344, 3) f32 upload is 103 MB — many
+    # minutes on the dev tunnel when the link is slow
+    images = jax.jit(
+        lambda k: jax.random.uniform(k, (b, h, w, 3)) * 255.0,
+    )(jax.random.PRNGKey(0))
+    images.block_until_ready()
     sizes = jnp.array([[h, w]] * b, dtype=jnp.int32)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0)}, images[:1], sizes[:1], train=False
-    )
+    # jitted init: one program instead of thousands of eager remote ops
+    variables = jax.jit(
+        lambda r, x, s: model.init(r, x, s, train=False)
+    )({"params": jax.random.PRNGKey(0)}, images[:1], sizes[:1])
+    jax.block_until_ready(variables)
+    print("init done", flush=True)
 
     def sync(o):
         return np.asarray(jax.tree_util.tree_leaves(o)[0]).sum()
@@ -113,6 +120,29 @@ def main():
         return _scalar(boxes, *stage_scores)
 
     @jax.jit
+    def f_pool1(v, x, s):
+        """Backbone + RPN + ONE 7x7 pool over the real RPN boxes."""
+        mm = m.bind(v)
+        feats = mm.backbone(mm.normalize(x), train=False)
+        rpn_out = mm.proposal_generator(feats, s, train=False)
+        rh = mm.roi_heads
+        pooled = rh._pool(feats, rpn_out.proposal_boxes,
+                          rh.cfg.box_head.pooler_resolution,
+                          rh.cfg.box_head.pooler_sampling_ratio)
+        return _scalar(pooled)
+
+    @jax.jit
+    def f_stage1(v, x, s):
+        """Backbone + RPN + one full cascade stage (pool+2FC+predictor)."""
+        mm = m.bind(v)
+        feats = mm.backbone(mm.normalize(x), train=False)
+        rpn_out = mm.proposal_generator(feats, s, train=False)
+        rh = mm.roi_heads
+        scores_p, deltas_p = rh._run_stage(
+            feats, rpn_out.proposal_boxes, 0, False)
+        return _scalar(scores_p, deltas_p)
+
+    @jax.jit
     def f_roi(v, x, s):
         mm = m.bind(v)
         feats = mm.backbone(mm.normalize(x), train=False)
@@ -142,6 +172,8 @@ def main():
     timeit("backbone(R50+FPN)", f_backbone, variables, images)
     timeit("+semseg head", f_semseg, variables, images)
     timeit("+RPN (topk+NMS)", f_rpn, variables, images, sizes)
+    timeit("+pool1 (7x7, RPN boxes)", f_pool1, variables, images, sizes)
+    timeit("+stage1 (pool+FC+pred)", f_stage1, variables, images, sizes)
     timeit("+cascade box stages", f_roi_box, variables, images, sizes)
     timeit("+ROI heads (casc+mask)", f_roi, variables, images, sizes)
     timeit("all but fusion", f_nofuse, variables, images, sizes)

@@ -92,10 +92,15 @@ class DefaultPredictor:
             import jax.numpy as jnp
 
             h, w = self.buckets[0]
-            variables = self.model.init(
+            # jit the init: eagerly it is thousands of individually
+            # dispatched ops, which on a high-RTT remote backend (the dev
+            # tunnel: ~29 ms RTT) takes minutes; as one compiled program
+            # it is one round trip (and persistent-cache friendly)
+            variables = jax.jit(
+                lambda r, x, s: self.model.init(r, x, s, train=False)
+            )(
                 {"params": jax.random.PRNGKey(0)},
                 jnp.zeros((1, h, w, 3)), jnp.array([[h, w]], jnp.int32),
-                train=False,
             )
         self.variables = variables
 

@@ -222,49 +222,61 @@ def _rois_per_step(s: int) -> int:
 
 
 def _ml_kernel(
-    oy_ref,            # (R,) int32 y origins packed large | small << 16
-    ox_ref,            # (R,) int32 aligned x origins packed large | small << 16
-    blt_ref,           # (R,) int32 packed batch | level << 16 | tier << 20
+    gtier_ref,         # (nsteps,) int32 tier of each g-ROI group — groups
+                       # are tier-uniform BY CONSTRUCTION (host bucket-pads
+                       # each tier to a multiple of g)
+    oy_ref,            # (R,) int32 ATLAS-row origins packed large|small<<16
+    ox_ref,            # (R,) int32 aligned x origins packed large|small<<16
+    bat_ref,           # (R,) int32 batch index
+    ro_ref,            # (R,) int32 atlas row offset of the ROI's level —
+                       # subtracted from the atlas origin to recover the
+                       # LEVEL-frame origin the bilinear weights need
+    hw_ref,            # (R,) int32 true level dims packed h | w << 16
     y0_ref,            # (R,) f32 roi start y (level coords)
     x0_ref,            # (R,) f32
     binh_ref,          # (R,) f32 bin sizes
     binw_ref,          # (R,) f32
-    *refs,             # L feature refs (B, H_l, W_l, C) in ANY, then out + scratch
+    atlas_ref,         # (B, H_cat, W_max, C) ANY — levels row-concatenated
+    out_ref,           # (G, s, s, C) block
+    win_ref,           # (2, G, WIN_Y, WIN, C) scratch
+    sems,              # (2, G) DMA semaphores
+    *,
     s: int,
     r: int,
-    num_levels: int,
-    level_dims: tuple,  # static ((H_l, W_l), ...) true (pre-pad) dims
-    g: int,             # ROIs per grid step
+    g: int,            # ROIs per grid step
 ):
-    out_ref = refs[num_levels]           # (G, s, s, C) block
-    win_ref = refs[num_levels + 1]       # (2, G, WIN_Y, WIN, C) scratch
-    sems = refs[num_levels + 2]          # (2, G) DMA semaphores
-
     step = pl.program_id(0)
     nsteps = pl.num_programs(0)
 
-    # Adaptive windows: each ROI DMAs only the (wy_e, wx_e) extent its span
-    # needs — tier code 0..3 selects (32,40)/(16,40)/(32,24)/(16,24); axis
-    # weights are exactly zero beyond the small extents (see _ml_prep's
-    # small-tier origin clamps), so reading the full (32, 40) buffer in the
-    # matmul with stale values in the un-DMA'd remainder is exact PROVIDED
-    # the stale values are finite (0 * Inf/NaN would poison the MXU sum).
-    # Groups 0 and 1 therefore force the FULL window (from the large-tier
-    # origins): after the two warmup groups every (slot, j) buffer holds
-    # real feature values everywhere, and later small-tier DMAs leave only
-    # old finite features behind. Both the launch and the wait/compute
-    # sides derive the effective tier with the same rule.
+    # Scalar-core economics drive this kernel's shape. Mosaic predication
+    # EXECUTES the address arithmetic of every pl.when body and only
+    # predicates the side effects, so the scalar cost per step is the sum
+    # over ALL predicated blocks — an earlier per-ROI level x tier
+    # branching variant was bound at ~1.9 us/ROI of scalar work with the
+    # DMA engines idle (pool time flat across box-size mixes). Hence:
+    #   * ONE feature ref: the FPN levels are row-concatenated into an
+    #     atlas and the level is absorbed into the (precomputed) atlas-row
+    #     origin — no per-level branches exist at all;
+    #   * tiers are per GROUP: the host sorts ROIs by tier and pads each
+    #     tier bucket to a multiple of g, so a group's DMA extents are one
+    #     of 4 static shapes selected by one scalar read.
     #
-    # The per-ROI scalars ride in SMEM (1 MB total, shared with control
-    # structures); at inference R (=1000 ROIs) separate tier/level/batch
-    # and (R, 2) origin arrays overflow it, so the origins are packed
-    # large|small<<16 per axis (origins < 2^15) and batch/level/tier
-    # share one word.
-    def eff_tier(grp, roi):
-        return jnp.where(grp < 2, 0, (blt_ref[roi] >> 20) & 0x3)
+    # Adaptive windows: each ROI DMAs only the (wy_e, wx_e) extent its
+    # span needs — tier 0..3 selects (32,40)/(16,40)/(32,24)/(16,24); axis
+    # weights are exactly zero beyond the small extents (see _ml_prep's
+    # small-tier origin clamps), so reading the full (32, 40) buffer in
+    # the matmul with stale values in the un-DMA'd remainder is exact
+    # PROVIDED the stale values are finite (0 * Inf/NaN would poison the
+    # MXU sum). Groups 0 and 1 therefore force the FULL window (from the
+    # large-tier origins): after the two warmup groups every (slot, j)
+    # buffer holds real feature values everywhere, and later small-tier
+    # DMAs leave only old finite features behind. Launch, wait, and
+    # compute all derive the effective tier with the same grp<2 rule.
+    def eff_tier(grp):
+        return jnp.where(grp < 2, 0, gtier_ref[grp])
 
     def eff_origins(grp, roi):
-        t = eff_tier(grp, roi)
+        t = eff_tier(grp)
         pk_y, pk_x = oy_ref[roi], ox_ref[roi]
         oy = jnp.where(t % 2 == 1, pk_y >> 16, pk_y & 0xFFFF)
         ox = jnp.where(t // 2 == 1, pk_x >> 16, pk_x & 0xFFFF)
@@ -272,23 +284,22 @@ def _ml_kernel(
 
     def launch_group(grp, slot):
         # start all window DMAs of group `grp` into buffer `slot` (static)
-        for j in range(g):
-            roi = grp * g + j
-            tc = eff_tier(grp, roi)
-            oy, ox = eff_origins(grp, roi)
-            ox = pl.multiple_of(ox, 8)
-            b = blt_ref[roi] & 0xFFFF
-            lvl = (blt_ref[roi] >> 16) & 0xF
-            for k in range(num_levels):
-                for t, (wy_e, wx_e) in enumerate(_TIER_DIMS):
-                    @pl.when((lvl == k) & (tc == t))
-                    def _(k=k, j=j, b=b, oy=oy, ox=ox, slot=slot,
-                          wy_e=wy_e, wx_e=wx_e):
-                        pltpu.make_async_copy(
-                            refs[k].at[b, pl.ds(oy, wy_e), pl.ds(ox, wx_e), :],
-                            win_ref.at[slot, j, :wy_e, :wx_e],
-                            sems.at[slot, j],
-                        ).start()
+        tc = eff_tier(grp)
+        for t, (wy_e, wx_e) in enumerate(_TIER_DIMS):
+            @pl.when(tc == t)
+            def _(t=t, slot=slot, wy_e=wy_e, wx_e=wx_e):
+                for j in range(g):
+                    roi = grp * g + j
+                    pk_y, pk_x = oy_ref[roi], ox_ref[roi]
+                    oy = (pk_y >> 16) if t % 2 == 1 else (pk_y & 0xFFFF)
+                    ox = (pk_x >> 16) if t // 2 == 1 else (pk_x & 0xFFFF)
+                    ox = pl.multiple_of(ox, 8)
+                    pltpu.make_async_copy(
+                        atlas_ref.at[bat_ref[roi], pl.ds(oy, wy_e),
+                                     pl.ds(ox, wx_e), :],
+                        win_ref.at[slot, j, :wy_e, :wx_e],
+                        sems.at[slot, j],
+                    ).start()
 
     # Double buffering: group i's windows start at step i-1 (group 0 at
     # warmup), so the DMAs of step+1 overlap this step's matmuls. Buffer
@@ -340,21 +351,19 @@ def _ml_kernel(
         wys, wxs = [], []
         for j in range(g):
             roi = step * g + j
-            lvl = (blt_ref[roi] >> 16) & 0xF
             y0 = y0_ref[roi]
             x0 = x0_ref[roi]
             bin_h = binh_ref[roi]
             bin_w = binw_ref[roi]
-            h = jnp.float32(level_dims[0][0])
-            w = jnp.float32(level_dims[0][1])
-            for k in range(1, num_levels):
-                h = jnp.where(lvl == k, jnp.float32(level_dims[k][0]), h)
-                w = jnp.where(lvl == k, jnp.float32(level_dims[k][1]), w)
+            hw = hw_ref[roi]
+            h = (hw & 0xFFFF).astype(jnp.float32)
+            w = (hw >> 16).astype(jnp.float32)
 
             ys = y0 + rel * bin_h
             xs = x0 + rel * bin_w
             oy, ox = eff_origins(step, roi)
-            wys.append(axis_weights_pooled(ys, h, oy, WIN_Y))
+            oy_level = oy - ro_ref[roi]      # atlas row -> level frame
+            wys.append(axis_weights_pooled(ys, h, oy_level, WIN_Y))
             wxs.append(axis_weights_pooled(xs, w, pl.multiple_of(ox, 8), WIN))
 
         # block-diagonalize: tile the stacked (g*s, WIN) weights across g
@@ -370,17 +379,17 @@ def _ml_kernel(
         wy_blk = block_diag(jnp.concatenate(wys, axis=0), WIN_Y)
         wx_blk = block_diag(jnp.concatenate(wxs, axis=0), WIN)
 
-        for j in range(g):
-            # wait for this group's windows (later groups' DMAs stay in
-            # flight); the wait descriptor must match the launched copy's
-            # byte count, so it is tier-predicated like the launch
-            roi = step * g + j
-            tc = eff_tier(step, roi)
-            for t, (wy_e, wx_e) in enumerate(_TIER_DIMS):
-                @pl.when(tc == t)
-                def _(j=j, wy_e=wy_e, wx_e=wx_e):
+        # wait for this group's windows (later groups' DMAs stay in
+        # flight); the wait descriptor must match the launched copy's
+        # byte count, so it is tier-predicated like the launch — one
+        # block per tier for the whole (tier-uniform) group
+        tc = eff_tier(step)
+        for t, (wy_e, wx_e) in enumerate(_TIER_DIMS):
+            @pl.when(tc == t)
+            def _(wy_e=wy_e, wx_e=wx_e):
+                for j in range(g):
                     pltpu.make_async_copy(
-                        refs[0].at[0, pl.ds(0, wy_e), pl.ds(0, wx_e), :],
+                        atlas_ref.at[0, pl.ds(0, wy_e), pl.ds(0, wx_e), :],
                         win_ref.at[slot, j, :wy_e, :wx_e],
                         sems.at[slot, j],
                     ).wait()
@@ -536,41 +545,35 @@ def multilevel_roi_align_pallas(
     )
 
 
-def _ml_call(padded, dims, prep_arrays, output_size, r, gsz,
-             r_pad, out_dtype):
-    """One pallas_call over all ROIs with per-ROI adaptive window tiers."""
+def _ml_call(atlas, prep_arrays, output_size, r, gsz, r_cap, out_dtype):
+    """One pallas_call over all ROIs: tier-uniform groups, one atlas ref."""
     s = output_size
-    num_levels = len(padded)
-    c = padded[0].shape[-1]
-    oy_p, ox_p, blt_p, y0_p, x0_p, binh_p, binw_p = prep_arrays
+    c = atlas.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
-        grid=(r_pad // gsz,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * num_levels,
+        num_scalar_prefetch=10,
+        grid=(r_cap // gsz,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (gsz, s, s, c), lambda i, *_: (i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, gsz, WIN_Y, WIN, c), padded[0].dtype),
+            pltpu.VMEM((2, gsz, WIN_Y, WIN, c), atlas.dtype),
             pltpu.SemaphoreType.DMA((2, gsz)),
         ],
     )
-    kernel = functools.partial(
-        _ml_kernel, s=s, r=r, num_levels=num_levels,
-        level_dims=tuple((int(d[0]), int(d[1])) for d in dims), g=gsz,
-    )
+    kernel = functools.partial(_ml_kernel, s=s, r=r, g=gsz)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
-            (r_pad, s, s, c), jnp.dtype(out_dtype or jnp.float32)),
+            (r_cap, s, s, c), jnp.dtype(out_dtype or jnp.float32)),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             # v5e VMEM is far larger than the compiler's conservative 16MB
             # scoped default; the window buffers are the whole point here
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(oy_p, ox_p, blt_p, y0_p, x0_p, binh_p, binw_p, *padded)
+    )(*prep_arrays, atlas)
 
 
 @functools.partial(
@@ -592,47 +595,86 @@ def _ml_pallas_ext(
     if sampling_ratio <= 0:
         sampling_ratio = 2
     s, r = output_size, sampling_ratio
-    num_levels = len(features)
     b, _, _, c = features[0].shape
     n_roi = boxes.shape[0]
     gsz = _rois_per_step(s)
-    r_pad = ((n_roi + gsz - 1) // gsz) * gsz
+    # bucket-padding bound: each of the 4 tier buckets is padded to a
+    # multiple of gsz so every kernel group is tier-uniform (the kernel
+    # has NO mixed-group path)
+    r_cap = ((n_roi + gsz - 1) // gsz + 4) * gsz
 
     dims = tuple((f.shape[1], f.shape[2]) for f in features)
     prep = _ml_prep(boxes, dims, strides, s, r,
                     canonical_box_size, canonical_level)
     # small-window origins per axis (identical routing; only the window
-    # clamp differs) + the per-ROI tier code. Padding ROIs get tier 0
-    # (full window at origin 0 — always in bounds).
+    # clamp differs) + the per-ROI tier code
     prep_s = _ml_prep(boxes, dims, strides, s, r,
                       canonical_box_size, canonical_level,
                       win_y=WIN_S_Y, win_x=WIN_S_X)
     small_y = prep["bin_h"] * s <= WIN_S_Y - 4
     small_x = prep["bin_w"] * s <= WIN_S_X - 11
     tier = small_y.astype(jnp.int32) + 2 * small_x.astype(jnp.int32)
-    # pack per-ROI scalars to fit SMEM at inference R (see _ml_kernel):
-    # origins large|small<<16 (both < 2^15); batch | level<<16 | tier<<20
-    oy_pk = prep["oy"] | (prep_s["oy"] << 16)             # (R,)
-    ox_pk = prep["ox"] | (prep_s["ox"] << 16)             # (R,)
 
-    padded = []
-    for f, (ph, pw) in zip(features, prep["pdims"]):
-        dh, dw = ph - f.shape[1], pw - f.shape[2]
-        if dh or dw:
-            f = jnp.pad(f, ((0, 0), (0, dh), (0, dw), (0, 0)))
-        padded.append(f)
+    # ---- feature ATLAS: levels row-concatenated (zero-padded to a
+    # common width) so the kernel sees ONE ref and the level routing is
+    # absorbed into precomputed atlas-row origins. XLA CSEs the identical
+    # concat across the cascade stages' pool calls within one jit.
+    pdims = prep["pdims"]
+    w_max = max(pw for _, pw in pdims)
+    row_off_np = np.concatenate(
+        [[0], np.cumsum([ph for ph, _ in pdims])[:-1]]).astype(np.int32)
+    bands = []
+    for f, (ph, pw) in zip(features, pdims):
+        f = jnp.pad(f, ((0, 0), (0, ph - f.shape[1]),
+                        (0, w_max - f.shape[2]), (0, 0)))
+        bands.append(f)
+    atlas = jnp.concatenate(bands, axis=1)        # (B, H_cat, W_max, C)
 
-    def pad1(x, value=0):
-        pad = ((0, r_pad - n_roi),) + ((0, 0),) * (x.ndim - 1)
-        return jnp.pad(x, pad, constant_values=value)
+    row_off = jnp.asarray(row_off_np)[prep["lvl"]]
+    # pack per-ROI scalars to fit SMEM (see _ml_kernel): atlas origins
+    # large|small<<16 (both < 2^15); level dims h | w << 16
+    oy_pk = (prep["oy"] + row_off) | ((prep_s["oy"] + row_off) << 16)
+    ox_pk = prep["ox"] | (prep_s["ox"] << 16)
+    true_h = jnp.asarray([d[0] for d in dims], jnp.int32)[prep["lvl"]]
+    true_w = jnp.asarray([d[1] for d in dims], jnp.int32)[prep["lvl"]]
+    hw_pk = true_h | (true_w << 16)
 
-    blt = (batch_idx.astype(jnp.int32) | (prep["lvl"] << 16)
-           | (tier << 20))
-    arrays = (pad1(oy_pk), pad1(ox_pk), pad1(blt),
-              pad1(prep["y0"]), pad1(prep["x0"]),
-              pad1(prep["bin_h"]), pad1(prep["bin_w"]))
-    pooled = _ml_call(padded, dims, arrays, s, r, gsz, r_pad, out_dtype)
-    return pooled[:n_roi]
+    # ---- tier-bucket scatter: sort ROIs by tier, pad each bucket to a
+    # multiple of gsz, scatter into the length-r_cap kernel arrays.
+    # Dummy rows (bucket padding + tail) carry origin 0 / batch 0 — a
+    # window DMA from atlas[0, 0:, 0:, :] is always in bounds — and are
+    # discarded by the final gather.
+    order = jnp.argsort(tier, stable=True)                  # (R,)
+    tier_sorted = tier[order]
+    counts = jnp.bincount(tier, length=4)
+    pc = (counts + gsz - 1) // gsz * gsz                    # padded counts
+    base = jnp.concatenate([jnp.zeros((1,), counts.dtype),
+                            jnp.cumsum(pc)[:-1]])
+    excl = jnp.concatenate([jnp.zeros((1,), counts.dtype),
+                            jnp.cumsum(counts)[:-1]])
+    pos = (base[tier_sorted]
+           + (jnp.arange(n_roi) - excl[tier_sorted])).astype(jnp.int32)
+
+    def scat(x):
+        out = jnp.zeros((r_cap,) + x.shape[1:], x.dtype)
+        return out.at[pos].set(x[order])
+
+    # per-group tier: group j (rows [j*gsz, (j+1)*gsz)) belongs to the
+    # bucket whose base it has reached; tail groups read as tier 3
+    # (smallest window — safe for dummy rows). Warmup groups 0 and 1 are
+    # forced to tier 0 inside the kernel (grp < 2 rule).
+    gi = jnp.arange(r_cap // gsz, dtype=jnp.int32) * gsz
+    gtier = (jnp.sum(gi[:, None] >= base[None, 1:], axis=1)
+             ).astype(jnp.int32)
+
+    arrays = (gtier, scat(oy_pk), scat(ox_pk),
+              scat(batch_idx.astype(jnp.int32)), scat(row_off),
+              scat(hw_pk), scat(prep["y0"]), scat(prep["x0"]),
+              scat(prep["bin_h"]), scat(prep["bin_w"]))
+    pooled = _ml_call(atlas, arrays, s, r, gsz, r_cap, out_dtype)
+    # unsort: original ROI order[j] sits at kernel slot pos[j]
+    inv_pos = jnp.zeros((n_roi,), jnp.int32).at[order].set(pos)
+    return pooled[inv_pos]
 
 
 # ---------------------------------------------------------------------------
