@@ -281,3 +281,36 @@ def test_adaptive_tiers_match_reference():
         # kernel, which differs from the ref by the same amount)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4, err_msg=f"case {i}")
+
+
+def test_tier_boundary_exact_vs_forced_full_window(monkeypatch):
+    """ROIs whose span sits EXACTLY at the small-tier budgets (12 cells y,
+    13 cells x) plus one-cell-over neighbours: the adaptive-tier run must be
+    bit-identical to a forced-full-window run (U2SEG_POOL_FORCE_FULL_WINDOW
+    hook). A sub-tolerance weight leak onto un-DMA'd window cells would
+    break exact equality here even if it passed the 1e-4 vs-ref check."""
+    from u2seg_tpu.ops.roi_align_pallas import multilevel_roi_align_pallas
+
+    rng = np.random.RandomState(3)
+    feats = [
+        jnp.asarray(rng.randn(1, 64, 96, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(1, 32, 48, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(1, 16, 24, 8).astype(np.float32)),
+    ]
+    strides = (4, 8, 16)
+    # spans in stride-4 feature cells: y budget 12 (WIN_S_Y - 4),
+    # x budget 13 (WIN_S_X - 11); *4 px per cell at the finest level
+    at_y, at_x = 12 * 4.0, 13 * 4.0
+    boxes = jnp.asarray([
+        [16.0, 20.0, 16.0 + at_x, 20.0 + at_y],          # both at budget
+        [16.0, 20.0, 16.0 + at_x + 0.5, 20.0 + at_y],    # x one over
+        [16.0, 20.0, 16.0 + at_x, 20.0 + at_y + 0.5],    # y one over
+        [16.0, 20.0, 16.0 + at_x + 0.5, 20.0 + at_y + 0.5],  # both over
+        [3.0, 5.0, 3.0 + at_x, 5.0 + at_y],              # at budget, offset
+    ], jnp.float32)
+    bidx = jnp.zeros(len(boxes), jnp.int32)
+
+    got = multilevel_roi_align_pallas(feats, boxes, bidx, 7, strides, 2)
+    monkeypatch.setenv("U2SEG_POOL_FORCE_FULL_WINDOW", "1")
+    full = multilevel_roi_align_pallas(feats, boxes, bidx, 7, strides, 2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(full))

@@ -440,9 +440,9 @@ class StandardROIHeads(nn.Module):
                     sampling_ratio=sampling_ratio,
                 )
             # emit the heads' compute dtype directly: halves the pooled
-            # HBM write and kills a 400MB/stage f32->bf16 convert
-            # (two_tier measured slower end-to-end: the size sort + second
-            # kernel launch cost more than the window-DMA savings)
+            # HBM write and kills a 400MB/stage f32->bf16 convert. The
+            # kernel sizes its window DMA per ROI (adaptive tiers), so no
+            # host-side size split is needed.
             return multilevel_roi_align_pallas(
                 feats, flat, bidx, resolution, tuple(self._strides()),
                 sampling_ratio=sampling_ratio, out_dtype=self.dtype,

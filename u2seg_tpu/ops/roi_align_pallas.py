@@ -22,6 +22,7 @@ axis-aligned grid factorizes: value(y, x) = sum_ij wy_i(y) wx_j(x) F[i, j].
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -239,7 +240,9 @@ def _ml_kernel(
     atlas_ref,         # (B, H_cat, W_max, C) ANY — levels row-concatenated
     out_ref,           # (G, s, s, C) block
     win_ref,           # (2, G, WIN_Y, WIN, C) scratch
-    sems,              # (2, G) DMA semaphores
+    sems,              # (2,) DMA semaphores — one per buffer slot; the
+                       # whole group's copies signal it and one fat wait
+                       # consumes them
     *,
     s: int,
     r: int,
@@ -298,7 +301,7 @@ def _ml_kernel(
                         atlas_ref.at[bat_ref[roi], pl.ds(oy, wy_e),
                                      pl.ds(ox, wx_e), :],
                         win_ref.at[slot, j, :wy_e, :wx_e],
-                        sems.at[slot, j],
+                        sems.at[slot],
                     ).start()
 
     # Double buffering: group i's windows start at step i-1 (group 0 at
@@ -380,19 +383,23 @@ def _ml_kernel(
         wx_blk = block_diag(jnp.concatenate(wxs, axis=0), WIN)
 
         # wait for this group's windows (later groups' DMAs stay in
-        # flight); the wait descriptor must match the launched copy's
-        # byte count, so it is tier-predicated like the launch — one
-        # block per tier for the whole (tier-uniform) group
+        # flight). All g copies of a group signal ONE semaphore (bytes
+        # accumulate), so a single wait whose descriptor spans the whole
+        # (g, wy_e, wx_e, C) slot covers the group — 4 predicated waits
+        # per step instead of 4*g (the per-descriptor scalar setup was a
+        # measurable slice of the kernel's ~1.9 us/ROI scalar bound).
+        # The descriptor is self-referential (src = dst): wait() only
+        # consumes the byte count; tier predication keeps it equal to
+        # the sum of the launched copies' bytes.
         tc = eff_tier(step)
         for t, (wy_e, wx_e) in enumerate(_TIER_DIMS):
             @pl.when(tc == t)
             def _(wy_e=wy_e, wx_e=wx_e):
-                for j in range(g):
-                    pltpu.make_async_copy(
-                        atlas_ref.at[0, pl.ds(0, wy_e), pl.ds(0, wx_e), :],
-                        win_ref.at[slot, j, :wy_e, :wx_e],
-                        sems.at[slot, j],
-                    ).wait()
+                pltpu.make_async_copy(
+                    win_ref.at[slot, :, :wy_e, :wx_e],
+                    win_ref.at[slot, :, :wy_e, :wx_e],
+                    sems.at[slot],
+                ).wait()
         # matmul1 runs in the window dtype (bf16 on the bf16 compute path,
         # f32 accumulate) — the reference pools under fp16 autocast, so
         # bf16 interpolation weights are within the reference's own AMP
@@ -423,6 +430,169 @@ def _ml_kernel(
     @pl.when(jnp.logical_not(parity))
     def _():
         compute_group(1)
+
+
+def _ml_kernel_prew(
+    # scalar prefetch
+    gtier_ref,         # (nsteps,) int32 effective tier per group (grp<2 -> 0
+                       # already applied by the host)
+    oy_ref,            # (R,) int32 atlas-row origins packed large|small<<16
+    ox_ref,            # (R,) int32 aligned x origins packed large|small<<16
+    bat_ref,           # (R,) int32 batch index
+    # inputs
+    atlas_ref,         # (B, H_cat, W_max, C) ANY — levels row-concatenated
+    wy_ref,            # (1, g*s, g*WIN_Y) VMEM block — PRECOMPUTED
+                       # block-diagonal y weights for this step's group
+    wx_ref,            # (1, g*s, g*WIN) VMEM block — x weights
+    # outputs
+    out_ref,           # (G, s, s, C) block
+    # scratch
+    win_ref,           # (2, G, WIN_Y, WIN, C)
+    sems,              # (2,) DMA semaphores
+    *,
+    s: int,
+    g: int,
+):
+    """Streamed-weight variant of ``_ml_kernel``: the per-ROI separable
+    bilinear weights (including their tier-origin and boundary clamps) are
+    precomputed block-diagonal by vectorized XLA on the host side of the
+    call and pipelined in as ordinary grid inputs, so the kernel body is
+    ONLY: window DMAs (tier-predicated), one fat wait, two MXU matmuls and
+    the mid relayout. This removes all per-ROI VPU weight math and 6 SMEM
+    scalar streams from the hot loop (measured: the kernel is per-step
+    overhead bound, NOT DMA bound — pool time is flat across box sizes)."""
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    _ABL = os.environ.get("U2SEG_POOL_ABLATE", "")  # dev: "nodma" | "nomm"
+
+    def launch_group(grp, slot):
+        tc = gtier_ref[grp]
+        for t, (wy_e, wx_e) in enumerate(_TIER_DIMS):
+            @pl.when(tc == t)
+            def _(t=t, slot=slot, wy_e=wy_e, wx_e=wx_e):
+                for j in range(g):
+                    roi = grp * g + j
+                    pk_y, pk_x = oy_ref[roi], ox_ref[roi]
+                    oy = (pk_y >> 16) if t % 2 == 1 else (pk_y & 0xFFFF)
+                    ox = (pk_x >> 16) if t // 2 == 1 else (pk_x & 0xFFFF)
+                    ox = pl.multiple_of(ox, 8)
+                    pltpu.make_async_copy(
+                        atlas_ref.at[bat_ref[roi], pl.ds(oy, wy_e),
+                                     pl.ds(ox, wx_e), :],
+                        win_ref.at[slot, j, :wy_e, :wx_e],
+                        sems.at[slot],
+                    ).start()
+
+    parity = step % 2 == 0
+
+    if _ABL != "nodma":
+        @pl.when(step == 0)
+        def _():
+            launch_group(0, 0)
+
+        @pl.when((step + 1 < nsteps) & parity)
+        def _():
+            launch_group(step + 1, 1)
+
+        @pl.when((step + 1 < nsteps) & jnp.logical_not(parity))
+        def _():
+            launch_group(step + 1, 0)
+
+    if _ABL == "noop":
+        out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+        return
+
+    def compute_group(slot):
+        if _ABL == "nodma":
+            window = win_ref[slot]
+            c = window.shape[-1]
+            out_ref[:] = jnp.zeros_like(out_ref) if False else out_ref[:]
+        if _ABL == "nomm":
+            tc = gtier_ref[step]
+            for t, (wy_e, wx_e) in enumerate(_TIER_DIMS):
+                @pl.when(tc == t)
+                def _(wy_e=wy_e, wx_e=wx_e):
+                    pltpu.make_async_copy(
+                        win_ref.at[slot, :, :wy_e, :wx_e],
+                        win_ref.at[slot, :, :wy_e, :wx_e],
+                        sems.at[slot],
+                    ).wait()
+            out_ref[:] = win_ref[slot, :, :s, :s, :].astype(out_ref.dtype)
+            return
+        if _ABL != "nodma":
+            tc = gtier_ref[step]
+            for t, (wy_e, wx_e) in enumerate(_TIER_DIMS):
+                @pl.when(tc == t)
+                def _(wy_e=wy_e, wx_e=wx_e):
+                    pltpu.make_async_copy(
+                        win_ref.at[slot, :, :wy_e, :wx_e],
+                        win_ref.at[slot, :, :wy_e, :wx_e],
+                        sems.at[slot],
+                    ).wait()
+        window = win_ref[slot]                             # (g, WIN_Y, WIN, C)
+        c = window.shape[-1]
+        # Measured dead ends (dev/profile_pool_tier.py ablations): the
+        # kernel is MXU-operand-stream bound — time is flat across box
+        # sizes (DMA extents), group sizes, wait coalescing, and weight
+        # precompute. Rounding tmp to bf16 to halve matmul2's ingest made
+        # it SLOWER (17.2 vs 14.5 ms: the f32->bf16 convert + 16-sublane
+        # bf16 relayout cost more than the ingest saved), so tmp stays f32.
+        tmp = jax.lax.dot_general(
+            wy_ref[0].astype(window.dtype),
+            window.reshape(g * WIN_Y, WIN * c),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # (g*s, WIN*C)
+        tmp = tmp.reshape(g, s, WIN, c).transpose(0, 2, 1, 3)
+        out = jax.lax.dot_general(
+            wx_ref[0], tmp.reshape(g * WIN, s * c),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # (g*s, s*C)
+        out = out.reshape(g, s, s, c).transpose(0, 2, 1, 3)
+        out_ref[:] = out.astype(out_ref.dtype)
+
+    @pl.when(parity)
+    def _():
+        compute_group(0)
+
+    @pl.when(jnp.logical_not(parity))
+    def _():
+        compute_group(1)
+
+
+def _pooled_axis_weights_host(
+    c0: jnp.ndarray,        # (R,) f32 roi start coord (level frame)
+    binsz: jnp.ndarray,     # (R,) f32 bin size
+    origin: jnp.ndarray,    # (R,) int32 effective window origin
+    size: jnp.ndarray,      # (R,) f32 true level extent along this axis
+    s: int, r: int, win: int,
+) -> jnp.ndarray:
+    """Vectorized replica of the kernel's ``axis_weights_pooled`` over all
+    ROI slots: (R, s, win) f32 with the r-sample mean pool folded in."""
+    n = s * r
+    idx = jnp.arange(n, dtype=jnp.float32)
+    rel = jnp.floor(idx / r) + ((idx % r) + 0.5) / r           # (n,)
+    coords = c0[:, None] + rel[None, :] * binsz[:, None]       # (R, n)
+    inside = (coords >= -1.0) & (coords <= size[:, None])
+    cc = jnp.clip(coords, 0.0, jnp.maximum(size[:, None] - 1.0, 0.0))
+    local = jnp.clip(
+        cc - origin[:, None].astype(jnp.float32), 0.0, win - 1.0)
+    cells = jnp.arange(win, dtype=jnp.float32)
+    wgt = jnp.maximum(0.0, 1.0 - jnp.abs(local[..., None] - cells))
+    wgt = wgt * inside[..., None]                              # (R, n, win)
+    return wgt.reshape(-1, s, r, win).sum(axis=2) * (1.0 / r)
+
+
+def _block_diag_weights(w: jnp.ndarray, g: int, dtype) -> jnp.ndarray:
+    """(nsteps*g, s, win) per-slot weights -> (nsteps, g*s, g*win)
+    block-diagonal blocks, one per kernel step."""
+    r_cap, s, win = w.shape
+    nsteps = r_cap // g
+    eye = jnp.eye(g, dtype=w.dtype)
+    blk = jnp.einsum(
+        "tqnj,qp->tqnpj", w.reshape(nsteps, g, s, win), eye)
+    return blk.reshape(nsteps, g * s, g * win).astype(dtype)
 
 
 def _padded_dims(dims) -> Tuple[Tuple[int, int], ...]:
@@ -545,24 +715,49 @@ def multilevel_roi_align_pallas(
     )
 
 
-def _ml_call(atlas, prep_arrays, output_size, r, gsz, r_cap, out_dtype):
-    """One pallas_call over all ROIs: tier-uniform groups, one atlas ref."""
+def _ml_call(atlas, prep_arrays, output_size, r, gsz, r_cap, out_dtype,
+             prew=None):
+    """One pallas_call over all ROIs: tier-uniform groups, one atlas ref.
+
+    ``prew``: optional (wy_blk, wx_blk) precomputed block-diagonal weights
+    (nsteps, g*s, g*WIN_[YX]) — selects the streamed-weight kernel."""
     s = output_size
     c = atlas.shape[-1]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=10,
-        grid=(r_cap // gsz,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (gsz, s, s, c), lambda i, *_: (i, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, gsz, WIN_Y, WIN, c), atlas.dtype),
-            pltpu.SemaphoreType.DMA((2, gsz)),
-        ],
+    scratch = [
+        pltpu.VMEM((2, gsz, WIN_Y, WIN, c), atlas.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    out_spec = pl.BlockSpec(
+        (gsz, s, s, c), lambda i, *_: (i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
     )
-    kernel = functools.partial(_ml_kernel, s=s, r=r, g=gsz)
+    if prew is not None:
+        wy_blk, wx_blk = prew
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(r_cap // gsz,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, gsz * s, gsz * WIN_Y),
+                             lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, gsz * s, gsz * WIN),
+                             lambda i, *_: (i, 0, 0)),
+            ],
+            out_specs=out_spec,
+            scratch_shapes=scratch,
+        )
+        kernel = functools.partial(_ml_kernel_prew, s=s, g=gsz)
+        extra = (atlas, wy_blk, wx_blk)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=10,
+            grid=(r_cap // gsz,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=out_spec,
+            scratch_shapes=scratch,
+        )
+        kernel = functools.partial(_ml_kernel, s=s, r=r, g=gsz)
+        extra = (atlas,)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
@@ -573,7 +768,7 @@ def _ml_call(atlas, prep_arrays, output_size, r, gsz, r_cap, out_dtype):
             # scoped default; the window buffers are the whole point here
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(*prep_arrays, atlas)
+    )(*prep_arrays, *extra)
 
 
 @functools.partial(
@@ -613,6 +808,12 @@ def _ml_pallas_ext(
                       win_y=WIN_S_Y, win_x=WIN_S_X)
     small_y = prep["bin_h"] * s <= WIN_S_Y - 4
     small_x = prep["bin_w"] * s <= WIN_S_X - 11
+    if os.environ.get("U2SEG_POOL_FORCE_FULL_WINDOW"):
+        # sweep/test hook: disable the small tiers so every ROI DMAs the
+        # full (WIN_Y, WIN) window. Adaptive tiers must be value-identical
+        # to this (tests/ops/test_roi_align_pallas.py boundary cases).
+        small_y = jnp.zeros_like(small_y)
+        small_x = jnp.zeros_like(small_x)
     tier = small_y.astype(jnp.int32) + 2 * small_x.astype(jnp.int32)
 
     # ---- feature ATLAS: levels row-concatenated (zero-padded to a
@@ -667,11 +868,39 @@ def _ml_pallas_ext(
     gtier = (jnp.sum(gi[:, None] >= base[None, 1:], axis=1)
              ).astype(jnp.int32)
 
-    arrays = (gtier, scat(oy_pk), scat(ox_pk),
-              scat(batch_idx.astype(jnp.int32)), scat(row_off),
-              scat(hw_pk), scat(prep["y0"]), scat(prep["x0"]),
-              scat(prep["bin_h"]), scat(prep["bin_w"]))
-    pooled = _ml_call(atlas, arrays, s, r, gsz, r_cap, out_dtype)
+    if os.environ.get("U2SEG_POOL_PREW", "1") != "0":
+        # streamed-weight kernel: the per-ROI separable weights (with the
+        # tier/warmup origin rules folded in) are built here by vectorized
+        # XLA and pipelined into the kernel as ordinary grid inputs
+        nsteps = r_cap // gsz
+        gtier_eff = jnp.where(jnp.arange(nsteps) < 2, 0, gtier)
+        grp_of_slot = jnp.arange(r_cap, dtype=jnp.int32) // gsz
+        efft = gtier_eff[grp_of_slot]                       # (r_cap,)
+        oy_pk_s, ox_pk_s = scat(oy_pk), scat(ox_pk)
+        ro_s = scat(row_off)
+        oy_eff = jnp.where(efft % 2 == 1, oy_pk_s >> 16, oy_pk_s & 0xFFFF)
+        ox_eff = jnp.where(efft // 2 == 1, ox_pk_s >> 16, ox_pk_s & 0xFFFF)
+        hw_s = scat(hw_pk)
+        wy = _pooled_axis_weights_host(
+            scat(prep["y0"]), scat(prep["bin_h"]), oy_eff - ro_s,
+            (hw_s & 0xFFFF).astype(jnp.float32), s, r, WIN_Y)
+        wx = _pooled_axis_weights_host(
+            scat(prep["x0"]), scat(prep["bin_w"]), ox_eff,
+            (hw_s >> 16).astype(jnp.float32), s, r, WIN)
+        # matmul1 runs in the window dtype; precompute wy there to halve
+        # its stream bytes. wx stays f32 (matmul2's lhs).
+        wy_blk = _block_diag_weights(wy, gsz, features[0].dtype)
+        wx_blk = _block_diag_weights(wx, gsz, jnp.float32)
+        arrays = (gtier_eff, oy_pk_s, ox_pk_s,
+                  scat(batch_idx.astype(jnp.int32)))
+        pooled = _ml_call(atlas, arrays, s, r, gsz, r_cap, out_dtype,
+                          prew=(wy_blk, wx_blk))
+    else:
+        arrays = (gtier, scat(oy_pk), scat(ox_pk),
+                  scat(batch_idx.astype(jnp.int32)), scat(row_off),
+                  scat(hw_pk), scat(prep["y0"]), scat(prep["x0"]),
+                  scat(prep["bin_h"]), scat(prep["bin_w"]))
+        pooled = _ml_call(atlas, arrays, s, r, gsz, r_cap, out_dtype)
     # unsort: original ROI order[j] sits at kernel slot pos[j]
     inv_pos = jnp.zeros((n_roi,), jnp.int32).at[order].set(pos)
     return pooled[inv_pos]
