@@ -199,6 +199,7 @@ def bench_e2e(n_images: int = 200, detail_path: str | None = None):
                                         device_resize=cfg.test.device_resize):
         n_det += len(out["instances"]["scores"])
 
+    predictor.fetch_stats = {"fetches": 0, "bytes": 0}
     t0 = time.perf_counter()
     count = 0
     seg_count = 0
@@ -218,12 +219,74 @@ def bench_e2e(n_images: int = 200, detail_path: str | None = None):
         "vs_baseline": round(imgs_per_s / baseline_per_chip, 4),
     }
     if detail_path:
-        detail = dict(result, n_images=count,
-                      dets_per_img_warmup=n_det / max(bs, 1),
-                      segments_per_img=seg_count / max(count, 1),
-                      device_render=cfg.test.device_render)
+        link = _measure_link()
+        fs = predictor.fetch_stats
+        n_batches = max(count // bs, 1)
+        # steady-state link cost of one image through the pipelined drain:
+        # raw-u8 upload + coalesced fetch bytes + the per-batch fetch RTT
+        up_mb = images[0].nbytes / 1e6
+        down_mb = fs["bytes"] / max(count, 1) / 1e6
+        link_s_per_img = (
+            up_mb / max(link["h2d_MBps"], 1e-6)
+            + down_mb / max(link["d2h_MBps"], 1e-6)
+            + link["rtt_ms"] / 1e3 * fs["fetches"] / n_batches / bs
+        )
+        link_bound = 1.0 / max(link_s_per_img, 1e-9)
+        pipeline_rate = None
+        try:
+            with open("artifacts/bench_pipeline.json") as f:
+                pipeline_rate = json.load(f)["value"]
+        except (OSError, KeyError, ValueError):
+            pass
+        bound = (min(pipeline_rate, link_bound)
+                 if pipeline_rate else link_bound)
+        detail = dict(
+            result, n_images=count,
+            dets_per_img_warmup=n_det / max(bs, 1),
+            segments_per_img=seg_count / max(count, 1),
+            device_render=cfg.test.device_render,
+            fetches_per_batch=round(fs["fetches"] / n_batches, 2),
+            bytes_down_MB_per_img=round(down_mb, 4),
+            bytes_up_MB_per_img=round(up_mb, 4),
+            runs_max_batch=fs.get("runs_max_batch", 0),
+            link=link,
+            link_bound_imgs_per_s=round(link_bound, 2),
+            pipeline_imgs_per_s=pipeline_rate,
+            frac_of_bound=round(imgs_per_s / bound, 4) if bound else None,
+        )
         _write_artifact(os.path.basename(detail_path), detail)
     print(json.dumps(result))
+
+
+def _measure_link() -> dict:
+    """Measure the host<->device link AT RUN TIME so the e2e artifact
+    self-explains when the dev tunnel sags (round-4 lesson: committed
+    link numbers go stale within hours)."""
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda x: x + 1)
+    float(np.asarray(tiny(jnp.zeros(()))))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        float(np.asarray(tiny(jnp.zeros(()))))
+    rtt = (time.perf_counter() - t0) / 3
+
+    nbytes = 4 * 1024 * 1024
+    dev = jax.device_put(jnp.zeros((nbytes,), jnp.uint8)) + 1  # on device
+    dev.block_until_ready()
+    np.asarray(dev)  # settle
+    t0 = time.perf_counter()
+    np.asarray(dev)
+    d2h = nbytes / 1e6 / max(time.perf_counter() - t0 - rtt, 1e-9)
+
+    host = np.zeros((nbytes,), np.uint8)
+    jax.device_put(host).block_until_ready()
+    t0 = time.perf_counter()
+    jax.device_put(host).block_until_ready()
+    h2d = nbytes / 1e6 / max(time.perf_counter() - t0 - rtt, 1e-9)
+    return {"rtt_ms": round(rtt * 1e3, 2), "d2h_MBps": round(d2h, 1),
+            "h2d_MBps": round(h2d, 1)}
 
 
 def bench_pipeline():

@@ -248,3 +248,55 @@ class TestPackedRender:
             sem = dr.rle_decode(starts[p1:p2], values[p1:p2], p2 - p1, n)
             np.testing.assert_array_equal(pan, flats[2 * b])
             np.testing.assert_array_equal(sem, flats[2 * b + 1])
+
+
+def test_fetch_buffer_round_trip():
+    """pack_fetch_buffer (device, bitcast+concat) -> unpack_fetch_buffer
+    (host, frombuffer views) must reproduce every field exactly."""
+    rng = np.random.RandomState(7)
+    bsz, k_det, kf, c, prefix = 2, 6, 4, 5, 32
+    r = dr.PackedRender(
+        starts=jnp.zeros((2 * bsz * 16,), jnp.int32),
+        values=jnp.zeros((2 * bsz * 16,), jnp.int16),
+        offs=jnp.asarray(rng.randint(0, 100, 2 * bsz + 1), jnp.int32),
+        starts_prefix=jnp.asarray(rng.randint(0, 1 << 20, prefix), jnp.int32),
+        values_prefix=jnp.asarray(rng.randint(-300, 300, prefix), jnp.int16),
+        takes=jnp.asarray(rng.rand(bsz, kf) > 0.5),
+        order=jnp.asarray(rng.randint(0, kf, (bsz, kf)), jnp.int32),
+        sorted_scores=jnp.asarray(rng.randn(bsz, kf).astype(np.float32)),
+        sorted_classes=jnp.asarray(rng.randint(0, 9, (bsz, kf)), jnp.int32),
+        stuff_ok=jnp.asarray(rng.rand(bsz, c) > 0.5),
+        stuff_area=jnp.asarray(rng.randint(0, 10000, (bsz, c)), jnp.int32),
+        fallback=jnp.asarray([False, True]),
+    )
+    det = {
+        "boxes": jnp.asarray(rng.rand(bsz, k_det, 4).astype(np.float32) * 640),
+        "scores": jnp.asarray(rng.rand(bsz, k_det).astype(np.float32)),
+        "classes": jnp.asarray(rng.randint(0, 800, (bsz, k_det)), jnp.int32),
+        "valid": jnp.asarray(rng.rand(bsz, k_det) > 0.3),
+    }
+    buf = jax.jit(dr.pack_fetch_buffer)(r, det)
+    assert buf.dtype == jnp.uint8 and buf.ndim == 1
+    layout = dr.fetch_layout(bsz, k_det, kf, c, prefix)
+    out = dr.unpack_fetch_buffer(np.asarray(buf), layout)
+    np.testing.assert_array_equal(out["offs"], np.asarray(r.offs))
+    np.testing.assert_array_equal(out["starts"], np.asarray(r.starts_prefix))
+    np.testing.assert_array_equal(out["values"], np.asarray(r.values_prefix))
+    np.testing.assert_array_equal(out["takes"].astype(bool),
+                                  np.asarray(r.takes))
+    np.testing.assert_array_equal(out["order"], np.asarray(r.order))
+    np.testing.assert_array_equal(out["sorted_scores"],
+                                  np.asarray(r.sorted_scores))
+    np.testing.assert_array_equal(out["sorted_classes"],
+                                  np.asarray(r.sorted_classes))
+    np.testing.assert_array_equal(out["stuff_ok"].astype(bool),
+                                  np.asarray(r.stuff_ok))
+    np.testing.assert_array_equal(out["stuff_area"], np.asarray(r.stuff_area))
+    np.testing.assert_array_equal(out["fallback"].astype(bool),
+                                  np.asarray(r.fallback))
+    np.testing.assert_array_equal(out["det_boxes"], np.asarray(det["boxes"]))
+    np.testing.assert_array_equal(out["det_scores"], np.asarray(det["scores"]))
+    np.testing.assert_array_equal(out["det_classes"],
+                                  np.asarray(det["classes"]))
+    np.testing.assert_array_equal(out["det_valid"].astype(bool),
+                                  np.asarray(det["valid"]))

@@ -353,8 +353,10 @@ class TestConfig:
     render_max_runs: int = 16384                  # RLE run budget per map
     # static per-image share of the eagerly-fetched packed-run prefix
     # (engine/device_render.PackedRender); batches with more total runs pay
-    # one dynamic-slice fetch instead
-    fetch_runs_per_image: int = 2048
+    # one dynamic-slice fetch instead. 4096 runs = 24 KB/img — still small
+    # next to one link RTT, and covers noisy (random-weight bench) maps
+    # whose argmax runs far exceed any trained model's
+    fetch_runs_per_image: int = 4096
     # upload the RAW uint8 image and resize on device (needs device_render;
     # images that fit no raw bucket fall back to the host-resize path)
     device_resize: bool = True

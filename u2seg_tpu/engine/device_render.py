@@ -455,6 +455,84 @@ def pack_rendered_batch(r: RenderedImage, prefix: int = 0) -> PackedRender:
 
 
 # ---------------------------------------------------------------------------
+# Single-buffer fetch coalescing
+# ---------------------------------------------------------------------------
+#
+# The e2e drain used to device_get a ~15-leaf pytree; on a high-RTT link
+# every leaf is its own transfer and the per-batch fetch cost is dominated
+# by round trips, not bytes (measured ~45 ms/batch of chatter on the dev
+# tunnel at ~28 ms RTT). Everything the host needs for the common case is
+# therefore flattened into ONE contiguous uint8 buffer on device and
+# fetched with ONE device_get; the host reinterprets fields by static
+# offset. Fields are ordered by itemsize (4-byte first) so every offset
+# stays aligned.
+
+def fetch_layout(bsz: int, k_det: int, k_fuse: int, num_stuff: int,
+                 prefix: int):
+    """Ordered [(name, shape, dtype)] of the coalesced fetch buffer."""
+    return [
+        ("offs", (2 * bsz + 1,), np.int32),
+        ("order", (bsz, k_fuse), np.int32),
+        ("sorted_classes", (bsz, k_fuse), np.int32),
+        ("sorted_scores", (bsz, k_fuse), np.float32),
+        ("stuff_area", (bsz, num_stuff), np.int32),
+        ("det_boxes", (bsz, k_det, 4), np.float32),
+        ("det_scores", (bsz, k_det), np.float32),
+        ("det_classes", (bsz, k_det), np.int32),
+        ("starts", (prefix,), np.int32),
+        ("values", (prefix,), np.int16),
+        ("takes", (bsz, k_fuse), np.uint8),
+        ("stuff_ok", (bsz, num_stuff), np.uint8),
+        ("fallback", (bsz,), np.uint8),
+        ("det_valid", (bsz, k_det), np.uint8),
+    ]
+
+
+def pack_fetch_buffer(r: "PackedRender", det: dict) -> jnp.ndarray:
+    """Device side: flatten the host-needed fields of one rendered batch
+    into a single (N,) uint8 buffer (inside the jit)."""
+    arrays = {
+        "offs": r.offs, "order": r.order,
+        "sorted_classes": r.sorted_classes,
+        "sorted_scores": r.sorted_scores, "stuff_area": r.stuff_area,
+        "det_boxes": det["boxes"], "det_scores": det["scores"],
+        "det_classes": det["classes"],
+        "starts": r.starts_prefix, "values": r.values_prefix,
+        "takes": r.takes, "stuff_ok": r.stuff_ok, "fallback": r.fallback,
+        "det_valid": det["valid"],
+    }
+    bsz, k_fuse = r.takes.shape
+    layout = fetch_layout(bsz, det["boxes"].shape[1], k_fuse,
+                          r.stuff_ok.shape[1], r.starts_prefix.shape[0])
+    parts = []
+    for name, shape, dt in layout:
+        x = arrays[name]
+        x = x.astype(jnp.dtype(dt).name) if x.dtype != jnp.dtype(dt) \
+            else x
+        if x.dtype == jnp.uint8:
+            parts.append(x.reshape(-1))
+        else:
+            parts.append(
+                jax.lax.bitcast_convert_type(x, jnp.uint8).reshape(-1))
+    return jnp.concatenate(parts)
+
+
+def unpack_fetch_buffer(buf: np.ndarray, layout) -> dict:
+    """Host side: reinterpret the fetched uint8 buffer by static offsets."""
+    buf = np.ascontiguousarray(buf)
+    out = {}
+    off = 0
+    for name, shape, dt in layout:
+        n = int(np.prod(shape)) * np.dtype(dt).itemsize
+        out[name] = np.frombuffer(
+            buf.data, dtype=dt, count=int(np.prod(shape)), offset=off,
+        ).reshape(shape)
+        off += n
+    assert off == buf.size, (off, buf.size)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Host-side decode
 # ---------------------------------------------------------------------------
 

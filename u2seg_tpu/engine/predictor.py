@@ -83,6 +83,9 @@ class DefaultPredictor:
 
         self.cfg = cfg
         self.model = model if model is not None else build_model(cfg)
+        # link accounting for the batched drain (read by bench.py):
+        # number of device_get transfers and fetched bytes
+        self.fetch_stats = {"fetches": 0, "bytes": 0}
         self.aug = T.ResizeShortestEdge(
             (cfg.input.min_size_test,), cfg.input.max_size_test
         )
@@ -115,7 +118,7 @@ class DefaultPredictor:
 
         def render_tail(out, size, orig_size):
             from u2seg_tpu.engine.device_render import (
-                pack_rendered_batch, render_batch,
+                pack_fetch_buffer, pack_rendered_batch, render_batch,
             )
             pano = cfg.model.panoptic
             bsz = size.shape[0]
@@ -133,9 +136,12 @@ class DefaultPredictor:
                 "boxes": det.boxes, "scores": det.scores,
                 "classes": det.classes, "valid": det.valid,
             }
-            # mask/sem logits returned for rare host fallbacks; they are
-            # fetched only when touched, so no per-batch transfer cost
-            return rendered, small_det, det.mask_logits, out.sem_seg_logits
+            # everything the host needs in the common case rides ONE
+            # contiguous buffer = ONE device_get = ONE link round trip
+            buf = pack_fetch_buffer(rendered, small_det)
+            # full run buffers + logits returned for rare fallbacks; they
+            # are fetched only when touched, so no per-batch transfer cost
+            return buf, rendered, det.mask_logits, out.sem_seg_logits
 
         def fwd_render(variables, image, size, orig_size):
             # TPU-first eval path: exact full-res render on device, host
@@ -278,31 +284,37 @@ class DefaultPredictor:
     def _drain_rendered(self, group, n_real, out):
         """Decode one in-flight device-rendered batch.
 
-        One device_get covers the common case: the small per-image tables,
-        the run offsets, AND a static prefix of the batch-compacted RLE
-        buffers (``PackedRender.starts_prefix``, sized by
-        ``cfg.test.fetch_runs_per_image``) — typically ~5-30 KB/img instead
-        of the 256 KB/img of the fixed per-image run budgets, with no
-        mid-pipeline device program (a dynamic slice dispatched here would
-        queue behind the next in-flight batch and stall the drain). Only a
-        batch whose total run count overflows the prefix pays a dynamic
-        slice, at power-of-two lengths so at most O(log) shapes compile."""
+        ONE device_get covers the common case: every host-needed field —
+        per-image tables, run offsets, AND a static prefix of the
+        batch-compacted RLE buffers (sized by
+        ``cfg.test.fetch_runs_per_image``) — is flattened on device into a
+        single contiguous uint8 buffer (device_render.pack_fetch_buffer),
+        so the per-batch link cost is one RTT + ~0.02 MB/img of bytes
+        instead of one RTT per pytree leaf. Only a batch whose total run
+        count overflows the prefix pays a second fetch (dynamic slice at
+        power-of-two lengths so at most O(log) shapes compile)."""
         import jax
 
-        from u2seg_tpu.engine.device_render import decode_rendered_image
+        from u2seg_tpu.engine.device_render import (
+            decode_rendered_image, fetch_layout, unpack_fetch_buffer,
+        )
 
-        rendered, small_det, mask_logits, sem_logits = out
-        small = {
-            "offs": rendered.offs, "takes": rendered.takes,
-            "order": rendered.order, "sorted_scores": rendered.sorted_scores,
-            "sorted_classes": rendered.sorted_classes,
-            "stuff_ok": rendered.stuff_ok, "stuff_area": rendered.stuff_area,
-            "fallback": rendered.fallback,
-            "starts": rendered.starts_prefix, "values": rendered.values_prefix,
-        }
-        rend, det = jax.device_get((small, small_det))
-        offs = np.asarray(rend["offs"], np.int64)
+        buf, rendered, mask_logits, sem_logits = out
+        bsz, k_fuse = rendered.takes.shape
+        layout = fetch_layout(
+            bsz, k_det=self.cfg.model.roi_heads.detections_per_image,
+            k_fuse=k_fuse, num_stuff=rendered.stuff_ok.shape[1],
+            prefix=rendered.starts_prefix.shape[0],
+        )
+        host = np.asarray(jax.device_get(buf))
+        self.fetch_stats["fetches"] += 1
+        self.fetch_stats["bytes"] += int(host.size)
+        rend = unpack_fetch_buffer(host, layout)
+        offs = rend["offs"].astype(np.int64)
         total = int(offs[-1])
+        self.fetch_stats["runs"] = self.fetch_stats.get("runs", 0) + total
+        self.fetch_stats["runs_max_batch"] = max(
+            self.fetch_stats.get("runs_max_batch", 0), total)
         starts_c, values_c = rend["starts"], rend["values"]
         if total > len(starts_c):
             cap = rendered.starts.shape[0]
@@ -312,16 +324,24 @@ class DefaultPredictor:
             cut = min(cut, cap)
             starts_c, values_c = jax.device_get(
                 (rendered.starts[:cut], rendered.values[:cut]))
+            self.fetch_stats["fetches"] += 2
+            self.fetch_stats["bytes"] += 6 * cut
         canvas = tuple(self.cfg.test.render_canvas)
         for i in range(n_real):
             meta, _, hw, ohow = group[i]
-            det_i = {k: v[i] for k, v in det.items()}
+            det_i = {
+                "boxes": rend["det_boxes"][i],
+                "scores": rend["det_scores"][i],
+                "classes": rend["det_classes"][i],
+                "valid": rend["det_valid"][i].astype(bool),
+            }
             if bool(rend["fallback"][i]):
                 # exact host re-render (image exceeds the canvas / run or
                 # fusion budget); logits are fetched only here
                 if mask_logits is not None:
                     det_i["mask_logits"] = np.asarray(mask_logits[i])
                 sem_np = np.asarray(sem_logits[i])
+                self.fetch_stats["fetches"] += 2
                 yield meta, self._post(det_i, sem_np, tuple(hw), ohow)
                 continue
             records = detections_to_records(
@@ -330,16 +350,20 @@ class DefaultPredictor:
             )
             p0, p1, p2 = offs[2 * i], offs[2 * i + 1], offs[2 * i + 2]
             r = {
-                k: v[i] for k, v in rend.items()
-                if k not in ("offs", "fallback")
+                "takes": rend["takes"][i].astype(bool),
+                "order": rend["order"][i],
+                "sorted_scores": rend["sorted_scores"][i],
+                "sorted_classes": rend["sorted_classes"][i],
+                "stuff_ok": rend["stuff_ok"][i].astype(bool),
+                "stuff_area": rend["stuff_area"][i],
+                "pan_starts": starts_c[p0:p1],
+                "pan_values": values_c[p0:p1],
+                "pan_nruns": p1 - p0,
+                "sem_starts": starts_c[p1:p2],
+                "sem_values": values_c[p1:p2],
+                "sem_nruns": p2 - p1,
+                "det_valid": det_i["valid"],
             }
-            r["pan_starts"] = starts_c[p0:p1]
-            r["pan_values"] = values_c[p0:p1]
-            r["pan_nruns"] = p1 - p0
-            r["sem_starts"] = starts_c[p1:p2]
-            r["sem_values"] = values_c[p1:p2]
-            r["sem_nruns"] = p2 - p1
-            r["det_valid"] = det_i["valid"]
             sem, pan, segments = decode_rendered_image(r, canvas, ohow)
             yield meta, {
                 "instances": records, "sem_seg": sem,
