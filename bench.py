@@ -145,6 +145,67 @@ def bench_train():
     print(json.dumps(result))
 
 
+def synth_scenes(n_images: int, rng, oh: int = 480, ow: int = 640):
+    """COCO-val-like synthetic scenes: a smooth low-frequency background
+    plus 10-25 solid elliptical objects per image (COCO val2017 averages
+    ~11 GT segments/img; real predictions carry dozens into fusion)."""
+    import cv2
+
+    out = []
+    for _ in range(n_images):
+        base = cv2.resize(rng.rand(6, 8, 3).astype(np.float32), (ow, oh),
+                          interpolation=cv2.INTER_CUBIC)
+        img = base * 80 + 60
+        for _ in range(rng.randint(10, 25)):
+            color = (rng.rand(3) * 255).tolist()
+            axes = (int(rng.randint(18, 90)), int(rng.randint(18, 90)))
+            center = (int(rng.randint(0, ow)), int(rng.randint(0, oh)))
+            cv2.ellipse(img, center, axes, float(rng.rand() * 180),
+                        0, 360, color, -1)
+        out.append(img.clip(0, 255).astype(np.uint8))
+    return out
+
+
+# Bench workload calibration. With the stock random init every cascade
+# stage's 801-way softmax saturates to a one-hot on a DIFFERENT class, so
+# the 3-stage score average is quantized to {1/3, 2/3, 1}: 99.5% of
+# detections score exactly 0.3333 and the fused segment count jumps
+# 5.8 -> 65 across a 0.01 threshold move — uncalibratable, and the
+# production threshold (0.5) paints ~2 segments/img, an unrealistically
+# light render/RLE/decode workload. The bench therefore scales the three
+# cls_score heads' weights by TAU (equivalent to init std 0.01*TAU —
+# a bench-init choice, no product knob changes), which de-saturates the
+# softmax into a smooth per-ROI score distribution (q5..q95 = 0.09..0.31
+# at TAU=0.12), and sets the fusion threshold in that smooth region so
+# segment counts land on a COCO-like 10-30/img dial (measured mean 20.8,
+# p50 15, p90 39 on synth_scenes; COCO val2017 averages ~11 GT
+# segments/img and real predictions carry dozens into fusion). All padded
+# compute shapes (100 dets/img, 800 classes) stay at product defaults.
+# Fetch prefix covers the measured run high-water mark (~10.0k runs/img)
+# so the common case stays ONE fetch per batch.
+BENCH_CLS_WEIGHT_TAU = 0.12
+BENCH_FUSION_CONF_THRESH = 0.25
+BENCH_FETCH_RUNS_PER_IMAGE = 12288
+# fusion budget = the detection cap: at the bench threshold some images'
+# eligible-instance count exceeds the product default budget (50), and
+# each over-budget image triggers the exact host-render fallback, whose
+# per-image sem-logits fetch (~7.5 MB) costs seconds on the dev tunnel.
+BENCH_RENDER_K_FUSE = 100
+
+
+def _spread_cls_scores(variables, tau: float = BENCH_CLS_WEIGHT_TAU):
+    """Rescale every ``cls_score`` head's params by ``tau`` (see note above)."""
+
+    def walk(d, path=()):
+        return {k: walk(v, path + (k,)) if isinstance(v, dict)
+                else (v * tau if path and path[-1] == "cls_score" else v)
+                for k, v in d.items()}
+
+    v = dict(variables)
+    v["params"] = walk(dict(v["params"]))
+    return v
+
+
 def bench_e2e(n_images: int = 200, detail_path: str | None = None):
     """Honest end-to-end panoptic throughput (``bench.py`` default mode).
 
@@ -174,19 +235,15 @@ def bench_e2e(n_images: int = 200, detail_path: str | None = None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     cfg = Config()
+    cfg.model.panoptic.instance_conf_thresh = BENCH_FUSION_CONF_THRESH
+    cfg.test.fetch_runs_per_image = BENCH_FETCH_RUNS_PER_IMAGE
+    cfg.test.render_k_fuse = BENCH_RENDER_K_FUSE
     bs = cfg.test.ims_per_batch
     rng = np.random.RandomState(0)
-    # blobby structured images (random low-freq fields) rather than white
-    # noise so the detector produces a realistic number of detections
-    base = rng.rand(n_images, 30, 40, 3).astype(np.float32)
-    images = []
-    for i in range(n_images):
-        import cv2
-
-        img = cv2.resize(base[i], (640, 480), interpolation=cv2.INTER_CUBIC)
-        images.append((img * 255).clip(0, 255).astype(np.uint8))
+    images = synth_scenes(n_images, rng)
 
     predictor = DefaultPredictor(cfg)
+    predictor.variables = _spread_cls_scores(predictor.variables)
 
     def stream(imgs):
         for i, im in enumerate(imgs):
@@ -202,13 +259,16 @@ def bench_e2e(n_images: int = 200, detail_path: str | None = None):
     predictor.fetch_stats = {"fetches": 0, "bytes": 0}
     t0 = time.perf_counter()
     count = 0
-    seg_count = 0
+    seg_counts = []
+    det_counts = []
     for _, out in predictor.run_batched(stream(images), batch_size=bs,
                                         device_render=cfg.test.device_render,
                                         device_resize=cfg.test.device_resize):
         count += 1
-        seg_count += len(out["segments"])
+        seg_counts.append(len(out["segments"]))
+        det_counts.append(len(out["instances"]["scores"]))
     dt = time.perf_counter() - t0
+    seg_count = sum(seg_counts)
 
     imgs_per_s = count / dt
     baseline_per_chip = 1000.0 / 8.0
@@ -240,10 +300,18 @@ def bench_e2e(n_images: int = 200, detail_path: str | None = None):
             pass
         bound = (min(pipeline_rate, link_bound)
                  if pipeline_rate else link_bound)
+        sc = np.asarray(seg_counts)
         detail = dict(
             result, n_images=count,
             dets_per_img_warmup=n_det / max(bs, 1),
-            segments_per_img=seg_count / max(count, 1),
+            segments_per_img=round(seg_count / max(count, 1), 2),
+            segments_p50=float(np.median(sc)),
+            segments_p90=float(np.percentile(sc, 90)),
+            dets_per_img=round(float(np.mean(det_counts)), 1),
+            fusion_conf_thresh=BENCH_FUSION_CONF_THRESH,
+            cls_weight_tau=BENCH_CLS_WEIGHT_TAU,
+            workload="synth_scenes 10-25 ellipses/img (COCO-like segment "
+                     "counts; see BENCH_CLS_WEIGHT_TAU note in bench.py)",
             device_render=cfg.test.device_render,
             fetches_per_batch=round(fs["fetches"] / n_batches, 2),
             bytes_down_MB_per_img=round(down_mb, 4),
@@ -273,12 +341,20 @@ def _measure_link() -> dict:
     rtt = (time.perf_counter() - t0) / 3
 
     nbytes = 4 * 1024 * 1024
-    dev = jax.device_put(jnp.zeros((nbytes,), jnp.uint8)) + 1  # on device
-    dev.block_until_ready()
-    np.asarray(dev)  # settle
-    t0 = time.perf_counter()
-    np.asarray(dev)
-    d2h = nbytes / 1e6 / max(time.perf_counter() - t0 - rtt, 1e-9)
+    # a jax.Array caches its host copy after the first np.asarray, so the
+    # timed fetch must use a FRESH device array each round (a cached
+    # re-fetch measures ~0 s and reports petabytes/s)
+    mk = jax.jit(lambda x: x + 1)
+    dev = mk(jnp.zeros((nbytes,), jnp.uint8))
+    np.asarray(dev)  # settle the transfer path
+    rounds = []
+    for _ in range(2):
+        dev = mk(dev)
+        dev.block_until_ready()
+        t0 = time.perf_counter()
+        np.asarray(dev)
+        rounds.append(time.perf_counter() - t0)
+    d2h = nbytes / 1e6 / max(min(rounds) - rtt, 1e-9)
 
     host = np.zeros((nbytes,), np.uint8)
     jax.device_put(host).block_until_ready()
@@ -308,12 +384,17 @@ def bench_pipeline():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
+    # identical compiled program to bench_e2e (fusion thresh and fetch
+    # prefix are compile-time constants) and the same COCO-like workload
     cfg = Config()
+    cfg.model.panoptic.instance_conf_thresh = BENCH_FUSION_CONF_THRESH
+    cfg.test.fetch_runs_per_image = BENCH_FETCH_RUNS_PER_IMAGE
+    cfg.test.render_k_fuse = BENCH_RENDER_K_FUSE
     bs = cfg.test.ims_per_batch
     rng = np.random.RandomState(0)
     p = DefaultPredictor(cfg)
-    raw = jnp.asarray(
-        (rng.rand(bs, 480, 640, 3) * 255).astype(np.uint8))
+    p.variables = _spread_cls_scores(p.variables)
+    raw = jnp.asarray(np.stack(synth_scenes(bs, rng)))
     osizes = jnp.asarray(np.array([[480, 640]] * bs, np.int32))
     sizes = jnp.asarray(np.array([[800, 1067]] * bs, np.int32))
     bucket = (800, 1344)
