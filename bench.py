@@ -400,7 +400,8 @@ def bench_pipeline():
     bucket = (800, 1344)
 
     def sync(out):
-        return float(np.asarray(out[0].offs).reshape(-1)[-1])
+        # out = (packed fetch buffer, rendered struct, mask/sem logits)
+        return float(np.asarray(out[1].offs).reshape(-1)[-1])
 
     out = p._fwd_render_raw(p.variables, raw, osizes, sizes, bucket=bucket)
     sync(out)

@@ -268,7 +268,6 @@ def _render_maps(
 
     area = jnp.sum(masks_full, axis=(1, 2))                   # (Kf,)
     eligible = svalid & (sscores >= instance_conf_thresh) & (area > 0)
-    idx3 = jnp.arange(k_fuse, dtype=jnp.int32)[:, None, None]
 
     # greedy paint in score order (ref panoptic_fpn.py:219-245): instance i
     # is painted iff its overlap with the union of earlier-painted masks is
@@ -285,15 +284,21 @@ def _render_maps(
         paint_step, jnp.zeros((oh_c, ow_c), bool),
         (masks_full, eligible, area),
     )
-    # first-taken-wins winner map, one fused pass over the mask stack
-    wm = jnp.min(
-        jnp.where(masks_full & takes[:, None, None], idx3, k_fuse), axis=0
-    )
-    # sequential ids in paint (= sorted) order, ref panoptic_fpn.py:232-245
+    # first-taken-wins winner + sequential paint-order ids (ref
+    # panoptic_fpn.py:232-245) in ONE fused pass over the mask stack:
+    # ``seq`` is nondecreasing, so the first (min-index) taking mask's id
+    # equals the min of ``seq`` over taking masks at that pixel. The
+    # previous two-step form (argmin winner map, then ``seq[wm]``) lowered
+    # the (OH, OW)-indexed table gather to the serial scalar core —
+    # ~26 ms/batch at k_fuse=100, the single hottest op of the render.
     seq = jnp.cumsum(takes.astype(jnp.int32))                 # (Kf,) 1-based
     n_inst = seq[-1] if k_fuse else jnp.int32(0)
     inst_id_map = jnp.where(
-        claimed, seq[jnp.minimum(wm, k_fuse - 1)], 0
+        claimed,
+        jnp.min(jnp.where(masks_full & takes[:, None, None],
+                          seq[:, None, None], jnp.int32(k_fuse + 1)),
+                axis=0),
+        0,
     ).astype(jnp.int32)
 
     # ---- stuff fill (ref panoptic_fpn.py:246-266) ------------------------
@@ -315,8 +320,22 @@ def _render_maps(
     # sequential stuff ids after the instances, ascending label order
     stuff_rank = jnp.cumsum(stuff_ok.astype(jnp.int32))       # (C,) 1-based
     stuff_id = n_inst + stuff_rank                            # (C,)
-    lab_ok = stuff_ok[sem_lab] & stuff_mask
-    stuff_id_map = jnp.where(lab_ok, stuff_id[sem_lab], 0).astype(jnp.int32)
+    # per-pixel table lookups stuff_ok[sem_lab] / stuff_id[sem_lab] as one
+    # (HW, C) @ (C, 2) matmul on the exact 0/1 one-hot already built for
+    # the area sum (ids <= k_fuse + C = 128, exact in bf16; a direct
+    # (OH, OW)-indexed gather lowers to the serial scalar core like the
+    # instance-id gather above)
+    tab = jnp.stack([
+        jnp.where(stuff_ok, stuff_id, 0).astype(jnp.bfloat16),
+        stuff_ok.astype(jnp.bfloat16),
+    ], axis=1)                                                # (C, 2)
+    looked = jax.lax.dot(
+        onehot_bf.reshape(-1, num_stuff), tab,
+        preferred_element_type=jnp.float32,
+    ).reshape(oh_c, ow_c, 2)
+    lab_ok = (looked[..., 1] > 0.5) & stuff_mask
+    stuff_id_map = jnp.where(
+        lab_ok, looked[..., 0].astype(jnp.int32), 0)
 
     pan = jnp.where(inside, inst_id_map + stuff_id_map, 0)
 
