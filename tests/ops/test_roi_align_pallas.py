@@ -314,3 +314,50 @@ def test_tier_boundary_exact_vs_forced_full_window(monkeypatch):
     monkeypatch.setenv("U2SEG_POOL_FORCE_FULL_WINDOW", "1")
     full = multilevel_roi_align_pallas(feats, boxes, bidx, 7, strides, 2)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(full))
+
+
+def test_train_pooler_grad_tier_boundaries(monkeypatch):
+    """Backward tier predication at the exact small-window budgets: the
+    tier-adaptive RMW backward must be bit-identical to a forced-full-
+    window run AND match autodiff of the pure-JAX replica — a cotangent
+    leak outside a small tier's (16, 24) window would break both."""
+    from u2seg_tpu.ops.roi_align_pallas import (
+        multilevel_roi_align_ref, multilevel_roi_align_train,
+    )
+
+    rng = np.random.RandomState(7)
+    feats = [
+        jnp.asarray(rng.randn(1, 64, 96, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(1, 32, 48, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(1, 16, 24, 8).astype(np.float32)),
+    ]
+    strides = (4, 8, 16)
+    at_y, at_x = 12 * 4.0, 13 * 4.0   # small budgets in px at stride 4
+    boxes = jnp.asarray([
+        [16.0, 20.0, 16.0 + at_x, 20.0 + at_y],              # both at budget
+        [16.0, 20.0, 16.0 + at_x + 0.5, 20.0 + at_y],        # x one over
+        [16.0, 20.0, 16.0 + at_x, 20.0 + at_y + 0.5],        # y one over
+        [16.0, 20.0, 16.0 + at_x + 0.5, 20.0 + at_y + 0.5],  # both over
+        [330.0, 210.0, 330.0 + at_x, 210.0 + at_y],          # clamped corner
+    ], jnp.float32)
+    bidx = jnp.zeros(len(boxes), jnp.int32)
+    cot = jnp.asarray(rng.randn(len(boxes), 7, 7, 8).astype(np.float32))
+
+    def loss_train(fs):
+        return jnp.sum(
+            multilevel_roi_align_train(fs, boxes, bidx, 7, strides, 2) * cot)
+
+    def loss_ref(fs):
+        return jnp.sum(
+            multilevel_roi_align_ref(fs, boxes, bidx, 7, strides, 2) * cot)
+
+    g_tier = jax.grad(loss_train)(feats)
+    g_ref = jax.grad(loss_ref)(feats)
+    for gt, gr in zip(g_tier, g_ref):
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(gr),
+                                   rtol=1e-4, atol=1e-4)
+
+    monkeypatch.setenv("U2SEG_POOL_FORCE_FULL_WINDOW", "1")
+    g_full = jax.grad(loss_train)(feats)
+    for gt, gf in zip(g_tier, g_full):
+        np.testing.assert_array_equal(np.asarray(gt), np.asarray(gf))

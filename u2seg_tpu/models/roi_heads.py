@@ -516,8 +516,24 @@ class StandardROIHeads(nn.Module):
         out_size = logits.shape[1]
 
         def per_image(patches, gt_boxes, gidx, rboxes):
+            # patches[gidx] / gt_boxes[gidx] as one-hot matmuls: the
+            # fancy-index gather of (cap, 64, 64) patch rows lowers to the
+            # TPU's serial scalar core (~35 ms/step at the recipe shape,
+            # the hottest op of the whole train step); the 0/1 mask values
+            # are exact under the dot, and the box dot runs at HIGHEST
+            # precision so coordinates stay exact f32.
+            g = patches.shape[0]
+            oneh = (gidx[:, None] == jnp.arange(g, dtype=gidx.dtype)
+                    ).astype(patches.dtype)
+            sel_patch = jax.lax.dot(
+                oneh, patches.reshape(g, -1),
+            ).reshape((gidx.shape[0],) + patches.shape[1:])
+            sel_box = jax.lax.dot(
+                oneh, gt_boxes.astype(patches.dtype),
+                precision=jax.lax.Precision.HIGHEST,
+            )
             return mask_targets_from_patches(
-                patches[gidx], gt_boxes[gidx], rboxes, out_size
+                sel_patch, sel_box, rboxes, out_size
             )
 
         targets = jax.vmap(per_image)(

@@ -1073,6 +1073,7 @@ def _ml_bwd_features(g, boxes, batch_idx, shapes, dtype, output_size,
 
 def _ml_bwd_kernel(
     oy_ref, ox_ref, batch_ref, lvl_ref, y0_ref, x0_ref, binh_ref, binw_ref,
+    tier_ref, oys_ref, oxs_ref,
     *refs,
     s: int,
     r: int,
@@ -1088,10 +1089,9 @@ def _ml_bwd_kernel(
     wsem = refs[2 * num_levels + 3]
 
     roi = pl.program_id(0)
-    oy = oy_ref[roi]
-    ox = pl.multiple_of(ox_ref[roi], 8)
     b = batch_ref[roi]
     lvl = lvl_ref[roi]
+    tc = tier_ref[roi]
 
     n = s * r
     idx_i = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
@@ -1117,42 +1117,59 @@ def _ml_bwd_kernel(
         w = jnp.where(lvl == k, jnp.float32(level_dims[k][1]), w)
     ys = y0_ref[roi] + rel * binh_ref[roi]
     xs = x0_ref[roi] + rel * binw_ref[roi]
-    wy = axis_weights_pooled(ys, h, oy, WIN_Y)     # (s, WIN_Y)
-    wx = axis_weights_pooled(xs, w, ox, WIN)       # (s, WIN)
 
     gs = gs_ref[0].astype(jnp.float32)             # (s, s, C)
     c = gs.shape[-1]
-    # gwin[i, j, ch] = sum_{n1,n2} wy[n1,i] wx[n2,j] gs[n1,n2,ch]
-    tmp = jax.lax.dot_general(
-        wy, gs.reshape(s, s * c),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(WIN_Y, s, c)                         # (WIN_Y, n2, C)
-    gwin = jax.lax.dot_general(
-        tmp, wx,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).transpose(0, 2, 1)                           # (WIN_Y, WIN, C)
 
-    # read-modify-write the ROI's window; the in-step write wait orders it
-    # before the (possibly overlapping) read of the next grid step
-    for k in range(num_levels):
-        @pl.when(lvl == k)
-        def _(k=k):
-            rd = pltpu.make_async_copy(
-                out_refs[k].at[b, pl.ds(oy, WIN_Y), pl.ds(ox, WIN), :],
-                win_scr, rsem,
-            )
-            rd.start()
-            rd.wait()
-            win_scr[:] = win_scr[:] + gwin
-            wr = pltpu.make_async_copy(
-                win_scr,
-                out_refs[k].at[b, pl.ds(oy, WIN_Y), pl.ds(ox, WIN), :],
-                wsem,
-            )
-            wr.start()
-            wr.wait()
+    # tier-predicated window extents (same per-axis small-window tiers as
+    # the forward, _TIER_DIMS): a small ROI's cotangent window is (16, 24)
+    # instead of (32, 40) — 4x less read-add-write traffic on the serial
+    # RMW chain that bounds this kernel. Origins per axis come from the
+    # matching prep (full- vs small-window clamp), exactly as the forward's
+    # eff_origins.
+    for t, (wy_e, wx_e) in enumerate(_TIER_DIMS):
+        @pl.when(tc == t)
+        def _(t=t, wy_e=wy_e, wx_e=wx_e):
+            oy_t = oys_ref[roi] if (t & 1) else oy_ref[roi]
+            ox_t = pl.multiple_of(
+                oxs_ref[roi] if (t & 2) else ox_ref[roi], 8)
+            wy = axis_weights_pooled(ys, h, oy_t, wy_e)    # (s, wy_e)
+            wx = axis_weights_pooled(xs, w, ox_t, wx_e)    # (s, wx_e)
+            # gwin[i, j, ch] = sum_{n1,n2} wy[n1,i] wx[n2,j] gs[n1,n2,ch]
+            tmp = jax.lax.dot_general(
+                wy, gs.reshape(s, s * c),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(wy_e, s, c)                          # (wy_e, n2, C)
+            gwin = jax.lax.dot_general(
+                tmp, wx,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).transpose(0, 2, 1)                           # (wy_e, wx_e, C)
+
+            # read-modify-write the ROI's window; the in-step write wait
+            # orders it before the (possibly overlapping) read of the next
+            # grid step
+            scr = win_scr.at[:wy_e, :wx_e]
+            for k in range(num_levels):
+                @pl.when(lvl == k)
+                def _(k=k):
+                    rd = pltpu.make_async_copy(
+                        out_refs[k].at[
+                            b, pl.ds(oy_t, wy_e), pl.ds(ox_t, wx_e), :],
+                        scr, rsem,
+                    )
+                    rd.start()
+                    rd.wait()
+                    scr[:] = scr[:] + gwin
+                    wr = pltpu.make_async_copy(
+                        scr,
+                        out_refs[k].at[
+                            b, pl.ds(oy_t, wy_e), pl.ds(ox_t, wx_e), :],
+                        wsem,
+                    )
+                    wr.start()
+                    wr.wait()
 
 
 def _ml_bwd_features_pallas(g, boxes, batch_idx, shapes, dtype, output_size,
@@ -1165,11 +1182,20 @@ def _ml_bwd_features_pallas(g, boxes, batch_idx, shapes, dtype, output_size,
     num_levels = len(dims)
 
     prep = _ml_prep(boxes, dims, tuple(strides), s, r, cbs, cl)
+    # small-window origins + per-ROI tier code, same rule as the forward
+    prep_s = _ml_prep(boxes, dims, tuple(strides), s, r, cbs, cl,
+                      win_y=WIN_S_Y, win_x=WIN_S_X)
+    small_y = prep["bin_h"] * s <= WIN_S_Y - 4
+    small_x = prep["bin_w"] * s <= WIN_S_X - 11
+    if os.environ.get("U2SEG_POOL_FORCE_FULL_WINDOW"):
+        small_y = jnp.zeros_like(small_y)
+        small_x = jnp.zeros_like(small_x)
+    tier = small_y.astype(jnp.int32) + 2 * small_x.astype(jnp.int32)
     pdims = prep["pdims"]
     zeros = [jnp.zeros((b, ph, pw, c), jnp.float32) for ph, pw in pdims]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
+        num_scalar_prefetch=11,
         grid=(n_roi,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * num_levels + [
             pl.BlockSpec((1, s, s, c), lambda i, *_: (i, 0, 0, 0),
@@ -1192,12 +1218,13 @@ def _ml_bwd_features_pallas(g, boxes, batch_idx, shapes, dtype, output_size,
                    for ph, pw in pdims],
         grid_spec=grid_spec,
         # aliased zero-initialized accumulators (operand indices count the
-        # 8 scalar-prefetch args first)
-        input_output_aliases={8 + i: i for i in range(num_levels)},
+        # 11 scalar-prefetch args first)
+        input_output_aliases={11 + i: i for i in range(num_levels)},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
         prep["oy"], prep["ox"], batch_idx.astype(jnp.int32), prep["lvl"],
         prep["y0"], prep["x0"], prep["bin_h"], prep["bin_w"],
+        tier, prep_s["oy"], prep_s["ox"],
         *zeros, g.astype(jnp.float32),
     )
     return [
