@@ -33,16 +33,34 @@ def git(*args):
                           text=True).stdout.strip()
 
 
+# The stamp file itself is tracked, so writing one stamp would otherwise
+# dirty the tree and block stamping the next tier; the dirty computation
+# everywhere below is "dirty ignoring the stamp file" — the stamp attests
+# the CODE state, not its own bookkeeping.
+STAMP_REL = "artifacts/tests_green.json"
+
+
+def code_dirty():
+    return bool(git("status", "--porcelain", "-uno", "--",
+                    ".", f":!{STAMP_REL}"))
+
+
 def check(tiers):
-    """Fail unless every tier is stamped green at a clean HEAD."""
-    path = os.path.join(ROOT, "artifacts", "tests_green.json")
+    """Fail unless every tier is stamped green at HEAD of a clean tree.
+
+    A stamp made at HEAD~1 also passes IF the only commit on top is the
+    stamp-file commit itself (the unavoidable 'commit the stamps' step)."""
+    path = os.path.join(ROOT, STAMP_REL)
     head = git("rev-parse", "HEAD")
-    dirty = bool(git("status", "--porcelain", "-uno"))
+    parent = git("rev-parse", "HEAD~1")
+    head_is_stamp_only = (
+        git("diff", "--name-only", "HEAD~1", "HEAD").strip() == STAMP_REL
+    )
     with open(path) as f:
         data = json.load(f)
     bad = []
-    if dirty:
-        bad.append("working tree is dirty")
+    if code_dirty():
+        bad.append("working tree is dirty (beyond the stamp file)")
     for tier in tiers:
         s = data.get(tier)
         if s is None:
@@ -51,7 +69,8 @@ def check(tiers):
             bad.append(f"{tier}: stamped NOT green at {s['sha'][:9]}")
         elif s["dirty"]:
             bad.append(f"{tier}: stamped on a dirty tree at {s['sha'][:9]}")
-        elif s["sha"] != head:
+        elif s["sha"] != head and not (
+                s["sha"] == parent and head_is_stamp_only):
             bad.append(f"{tier}: stamped at {s['sha'][:9]}, HEAD is "
                        f"{head[:9]} — re-run `python dev/stamp_tests_green"
                        f".py {tier}`")
@@ -69,7 +88,7 @@ def main():
     if args and args[0] == "--check":
         check(args[1:] or ["fast", "medium"])
     tier = args[0] if args else "fast"
-    if not allow_dirty and bool(git("status", "--porcelain", "-uno")):
+    if not allow_dirty and code_dirty():
         print("REFUSING to stamp a dirty tree (the stamp would attest a "
               "state no commit reproduces); commit first or pass "
               "--allow-dirty for a throwaway run.")
@@ -89,9 +108,7 @@ def main():
         counts[kind] = int(n)
     sha = subprocess.run(["git", "rev-parse", "HEAD"], cwd=ROOT,
                          capture_output=True, text=True).stdout.strip()
-    dirty = bool(subprocess.run(
-        ["git", "status", "--porcelain", "-uno"], cwd=ROOT,
-        capture_output=True, text=True).stdout.strip())
+    dirty = code_dirty()
     stamp = {
         "sha": sha,
         "dirty": dirty,
