@@ -64,9 +64,10 @@ def main():
         sync(out)
         return (time.perf_counter() - t0) / iters
 
-    # forward only (detections + logits, no render)
+    # forward only (detections + logits, no render; raw-u8 input — the
+    # same program shape the batched predictor compiles)
     padded, hw, ohow, _ = p._prepare_raw(imgs[0])
-    stack = jnp.asarray(np.stack([padded] * bs)).astype(jnp.float32)
+    stack = jnp.asarray(np.stack([padded] * bs))
     szs = jnp.asarray(np.array([hw] * bs, np.int32))
     t_fwd = timeit(
         lambda: p._fwd(p.variables, stack, szs),

@@ -113,7 +113,7 @@ def main(n_images=48):
             jnp.asarray(sizes), bucket=bucket)
         bytes_up += raw.nbytes
         t2 = time.perf_counter()
-        _sync_scalar(out[0].offs[-1])    # completion barrier
+        _sync_scalar(out[1].offs[-1])    # completion barrier
         t3 = time.perf_counter()
         group = [(i, None, tuple(sizes[i]), tuple(osizes[i]))
                  for i in range(bs)]
@@ -134,12 +134,12 @@ def main(n_images=48):
     sz_d = jnp.asarray(sizes)
     iters = 10
     out = p._fwd_render_raw(p.variables, raw_d, osz_d, sz_d, bucket=bucket)
-    _sync_scalar(out[0].offs[-1])
+    _sync_scalar(out[1].offs[-1])
     t0 = time.perf_counter()
     for _ in range(iters):
         out = p._fwd_render_raw(p.variables, raw_d, osz_d, sz_d,
                                 bucket=bucket)
-    _sync_scalar(out[0].offs[-1])
+    _sync_scalar(out[1].offs[-1])
     queued_ms_per_img = (time.perf_counter() - t0 - link["rtt_ms"] / 1e3) \
         / (iters * bs) * 1e3
 
