@@ -35,14 +35,17 @@ def git(*args):
 
 # The stamp file itself is tracked, so writing one stamp would otherwise
 # dirty the tree and block stamping the next tier; the dirty computation
-# everywhere below is "dirty ignoring the stamp file" — the stamp attests
-# the CODE state, not its own bookkeeping.
+# everywhere below is "dirty ignoring the stamp file and the driver's
+# progress log" — the stamp attests the CODE state, not bookkeeping
+# (PROGRESS.jsonl is appended by the round driver every ~15 min, which
+# would spuriously dirty any stamp run longer than that).
 STAMP_REL = "artifacts/tests_green.json"
+_IGNORED = (STAMP_REL, "PROGRESS.jsonl")
 
 
 def code_dirty():
     return bool(git("status", "--porcelain", "-uno", "--",
-                    ".", f":!{STAMP_REL}"))
+                    ".", *[f":!{p}" for p in _IGNORED]))
 
 
 def check(tiers):
@@ -53,9 +56,9 @@ def check(tiers):
     path = os.path.join(ROOT, STAMP_REL)
     head = git("rev-parse", "HEAD")
     parent = git("rev-parse", "HEAD~1")
-    head_is_stamp_only = (
-        git("diff", "--name-only", "HEAD~1", "HEAD").strip() == STAMP_REL
-    )
+    top_files = set(
+        git("diff", "--name-only", "HEAD~1", "HEAD").strip().splitlines())
+    head_is_stamp_only = bool(top_files) and top_files <= set(_IGNORED)
     with open(path) as f:
         data = json.load(f)
     bad = []
